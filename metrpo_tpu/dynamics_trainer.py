@@ -1,0 +1,186 @@
+"""Dynamics-ensemble fitting with per-member validation early stopping.
+
+Functional re-design of the reference's ``optimize_models``
+(``model_based_rl.py:881-1051``) + ``get_dynamics_optimizer`` (``:154-183``):
+
+  - all K members train in ONE jitted Adam step on disjoint random
+    minibatches (the vectorized form of the stacked-placeholder trick at
+    ``model_based_rl.py:48-71``);
+  - per-member best-weight checkpointing is a pure ``jnp.where`` select
+    over the stacked params (replacing the per-model tf.train.Saver
+    file round-trips at ``:993-1008`` / ``recover_weights:871-878``);
+  - scratch/refine learning-rate schedule, Adam re-init each sweep,
+    periodic full-validation eval, and patience in units of data passes
+    all match the reference (``:904-918``, ``:954-957``, ``:1022-1031``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from metrpo_tpu.config import DynamicsOptParams
+from metrpo_tpu.models.dynamics import DynamicsEnsemble
+from metrpo_tpu.utils.normalizer import RunningStats
+from metrpo_tpu.utils.replay import ReplayDataset
+from metrpo_tpu.utils.tree import tree_select
+
+
+class DynamicsTrainer:
+    def __init__(self, ensemble: DynamicsEnsemble, opt_params: DynamicsOptParams):
+        self.ensemble = ensemble
+        self.cfg = opt_params
+        lr = opt_params.learning_rate
+        if isinstance(lr, dict):
+            self.lr_scratch, self.lr_refine = lr["scratch"], lr["refine"]
+        else:
+            self.lr_scratch = self.lr_refine = float(lr)
+        self.opt = optax.inject_hyperparams(optax.adam)(learning_rate=self.lr_scratch)
+
+        ens = self.ensemble
+
+        @jax.jit
+        def train_step(params, opt_state, x, y, input_stats, diff_stats):
+            def total_loss(p):
+                pred = ens.prediction_losses(p, x, y, input_stats, diff_stats)
+                reg = ens.regularizer_losses(p)
+                return jnp.sum(pred) + jnp.sum(reg), jnp.sum(pred)
+
+            (loss, pred_loss), grads = jax.value_and_grad(total_loss, has_aux=True)(params)
+            updates, opt_state = self.opt.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        @jax.jit
+        def val_losses(params, x_val, y_val, input_stats, diff_stats):
+            """Per-member loss, every member on the SAME validation set:
+            (B,D),(B,S) -> (K,).  Includes the regularizer term, matching
+            the reference's 'dynamics_losses' validation metric."""
+            def member_loss(p):
+                pred = ens.apply_member(p, x_val, input_stats, diff_stats)
+                return jnp.mean(jnp.sum(jnp.square(pred - y_val), axis=-1))
+
+            pred = jax.vmap(member_loss)(params)
+            return pred + ens.regularizer_losses(params)
+
+        @jax.jit
+        def select_best(best_params, params, best_losses, losses):
+            improved = losses < best_losses
+            new_best_params = tree_select(improved, params, best_params)
+            new_best_losses = jnp.where(improved, losses, best_losses)
+            return new_best_params, new_best_losses, improved
+
+        self._train_step = train_step
+        self._val_losses = val_losses
+        self._select_best = select_best
+
+    # ------------------------------------------------------------------
+
+    def init_params(self, key) -> dict:
+        return self.ensemble.init(key)
+
+    def init_opt_state(self, params, lr: float):
+        state = self.opt.init(params)
+        state.hyperparams["learning_rate"] = jnp.asarray(lr)
+        return state
+
+    def fit(self,
+            params: dict,
+            data: ReplayDataset,
+            validation: ReplayDataset,
+            input_stats: RunningStats,
+            diff_stats: RunningStats,
+            key,
+            reinitialize: bool = False,
+            logger=None,
+            max_val_rows: int = 50000) -> tuple[dict, dict]:
+        """One sweep of ensemble fitting. Returns (best_params, logs)."""
+        cfg = self.cfg
+        ens = self.ensemble
+        K = ens.n_models
+
+        if reinitialize:
+            params = self.init_params(key)
+            lr = self.lr_scratch
+        else:
+            lr = self.lr_refine
+        # Adam state re-initialized every sweep (model_based_rl.py:908,915)
+        opt_state = self.init_opt_state(params, lr)
+
+        x_val = jnp.asarray(validation.x[:max_val_rows], jnp.float32)
+        y_val = jnp.asarray(validation.y[:max_val_rows], jnp.float32)
+
+        best_params = params
+        best_losses = self._val_losses(params, x_val, y_val, input_stats, diff_stats)
+        initial_val = np.asarray(best_losses)
+        min_sum_val = float(np.sum(initial_val))
+        best_j = 0
+        if logger:
+            logger.info("iter 0 (no update yet) validation_losses: %s",
+                        np.array2string(initial_val[:5], precision=2))
+
+        batch_size = cfg.batch_size
+        iter_const = max(len(data) / batch_size, 1.0)
+        max_iters = int(cfg.max_passes * iter_const)
+        log_every = max(int(cfg.log_every * iter_const), 1)
+        patience = int(cfg.num_passes_threshold * iter_const)
+
+        recover_indices = np.zeros(K)
+        refine_idx = -1
+        training_losses, validation_losses = [], []
+        j = 0
+        for j in range(1, max_iters + 1):
+            if cfg.sample_mode == "next_batch":
+                xb, yb = data.get_next_batch(batch_size * K)
+            else:
+                xb, yb = data.sample(batch_size * K)
+            xb = jnp.asarray(xb, jnp.float32).reshape(K, batch_size, -1)
+            yb = jnp.asarray(yb, jnp.float32).reshape(K, batch_size, -1)
+            params, opt_state, train_loss = self._train_step(
+                params, opt_state, xb, yb, input_stats, diff_stats)
+
+            if j % log_every == 0:
+                losses = self._val_losses(params, x_val, y_val, input_stats, diff_stats)
+                best_params, best_losses, improved = self._select_best(
+                    best_params, params, best_losses, losses)
+                improved_np = np.asarray(improved)
+                recover_indices[improved_np] = j
+                val_sum = float(np.sum(np.asarray(losses)))
+                training_losses.append(float(train_loss))
+                validation_losses.append(val_sum)
+                if val_sum < min_sum_val:
+                    min_sum_val = val_sum
+                    best_j = j
+                if logger:
+                    logger.info(
+                        "iter %d train %.4f val %.4f (saved %d members)",
+                        j, float(train_loss), val_sum, int(improved_np.sum()))
+                if j - max(np.max(recover_indices), refine_idx) >= patience:
+                    if (reinitialize and refine_idx < 0
+                            and self.lr_scratch > self.lr_refine):
+                        # scratch -> refine transition (model_based_rl.py:1024-1030)
+                        params = best_params
+                        opt_state = self.init_opt_state(params, self.lr_refine)
+                        refine_idx = j
+                        if logger:
+                            logger.info("LR scratch %.2e -> refine %.2e",
+                                        self.lr_scratch, self.lr_refine)
+                        continue
+                    break
+
+        logs = {
+            "training_losses": training_losses,
+            "validation_losses": validation_losses,
+            "min_sum_validation_loss": min_sum_val,
+            "best_index": best_j,
+            "n_updates": j,
+            "initial_validation_losses": initial_val.tolist(),
+            "final_validation_losses": np.asarray(best_losses).tolist(),
+        }
+        # restore per-member best weights (recover_weights analog)
+        return best_params, logs

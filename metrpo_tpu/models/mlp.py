@@ -1,0 +1,57 @@
+"""Functional MLP: init/apply with stacked-ensemble support.
+
+Replaces the reference's scope-variable graph builder
+(``training.py:171-214`` build_ff_neural_net): parameters are a plain
+pytree ``{"w": [W0..Wn], "b": [b0..bn]}``; the K-member ensemble is the
+same pytree with a leading K axis on every leaf, built with
+``jax.vmap(init)`` — no named scopes, no variable reuse machinery.
+
+Matmuls hit the MXU; ``preferred_element_type`` keeps accumulation in
+fp32 when activations are bf16.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Sequence
+
+import jax
+import jax.numpy as jnp
+
+
+def xavier_uniform(key, shape, dtype=jnp.float32):
+    """tf.contrib.layers.xavier_initializer equivalent (uniform)."""
+    fan_in, fan_out = shape[0], shape[1]
+    limit = jnp.sqrt(6.0 / (fan_in + fan_out))
+    return jax.random.uniform(key, shape, dtype, -limit, limit)
+
+
+def mlp_init(key, sizes: Sequence[int], dtype=jnp.float32) -> dict:
+    """sizes = [n_in, h1, ..., n_out]."""
+    n_layers = len(sizes) - 1
+    keys = jax.random.split(key, n_layers)
+    ws, bs = [], []
+    for i in range(n_layers):
+        ws.append(xavier_uniform(keys[i], (sizes[i], sizes[i + 1]), dtype))
+        bs.append(jnp.zeros((sizes[i + 1],), dtype))
+    return {"w": ws, "b": bs}
+
+
+def mlp_apply(params: dict, x: jnp.ndarray,
+              hidden_act: Callable, output_act: Callable = lambda x: x,
+              gate: jnp.ndarray | None = None) -> jnp.ndarray:
+    """Forward pass. ``gate`` multiplies the last hidden activation
+    (the reference's sigmoid ``logit_weights`` hook, training.py:212-213)."""
+    n_layers = len(params["w"])
+    h = x
+    for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        pre = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
+        h = output_act(pre) if i == n_layers - 1 else hidden_act(pre)
+        if gate is not None and i == n_layers - 2:
+            h = h * gate
+    return h
+
+
+def ensemble_init(key, n_members: int, sizes: Sequence[int], dtype=jnp.float32) -> dict:
+    """K independently-initialized member param sets stacked on axis 0."""
+    keys = jax.random.split(key, n_members)
+    return jax.vmap(lambda k: mlp_init(k, sizes, dtype))(keys)

@@ -1,0 +1,259 @@
+"""ME-TRPO orchestrator: the collect -> fit-ensemble -> optimize-policy
+sweep loop.
+
+Re-design of the reference's ``train_models`` (``model_based_rl.py:231-755``):
+host Python drives the outer alternation (cheap, data-dependent control
+flow) while every step inside each phase is a jitted program. Checkpoints
+are pytree pickles per sweep; fixed policy-validation initial states are
+created once and reused (``model_based_rl.py:443-487``).
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+import time
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrpo_tpu.collect import collect_real_rollouts, split_and_store
+from metrpo_tpu.config import ExperimentConfig
+from metrpo_tpu.dynamics_trainer import DynamicsTrainer
+from metrpo_tpu.envs.base import AnalyticEnv, HostEnv, VecHostEnv
+from metrpo_tpu.evaluate import evaluate_fixed_init_trajectories
+from metrpo_tpu.models.dynamics import DynamicsEnsemble
+from metrpo_tpu.models.policy import GaussianMLPPolicy
+from metrpo_tpu.policy_opt import PolicyOptimizer, model_scopes_for_mode
+from metrpo_tpu.utils.checkpoint import save_checkpoint
+from metrpo_tpu.utils.normalizer import running_stats_init
+from metrpo_tpu.utils.prng import KeySequence
+from metrpo_tpu.utils.replay import ReplayDataset
+from metrpo_tpu.utils.tabular import PhaseTimer, TabularLogger, get_logger
+from metrpo_tpu.utils.tree import tree_flatten_vector
+
+
+def make_env_pool(env_factory, n: int) -> VecHostEnv:
+    return VecHostEnv([env_factory() for _ in range(n)])
+
+
+class Trainer:
+    """Owns all state for one ME-TRPO experiment."""
+
+    def __init__(self, cfg: ExperimentConfig, env: HostEnv, env_factory,
+                 snapshot_dir: Optional[str] = None, seed: Optional[int] = None):
+        self.cfg = cfg
+        self.env = env
+        seed = cfg.seed if seed is None else seed
+        self.keys = KeySequence(seed)
+        self.snapshot_dir = snapshot_dir
+        self.log_dir = os.path.join(snapshot_dir, "training_logs") if snapshot_dir else None
+        if self.log_dir:
+            os.makedirs(self.log_dir, exist_ok=True)
+        self.logger = get_logger("metrpo", snapshot_dir)
+        self.tabular = TabularLogger(
+            os.path.join(snapshot_dir, "progress.csv") if snapshot_dir else None)
+
+        pop = cfg.policy_opt_params
+        rp = cfg.rollout_params
+
+        # --- model/policy definitions ---
+        n_obs, n_actions = env.n_obs, env.n_actions
+        n_goals, n_states = env.n_goals, env.n_states
+        self.policy = GaussianMLPPolicy.create(
+            n_obs, n_actions, cfg.policy,
+            env.action_space.low, env.action_space.high)
+        self.policy_params = self.policy.init(self.keys.next(),
+                                              init_std=pop.trpo.init_std)
+        self.ensemble = DynamicsEnsemble.create(
+            n_states, n_actions, n_goals, cfg.dynamics_model, cfg.n_models,
+            dt=env.dt)
+        self.scopes = model_scopes_for_mode(pop.mode)
+        self.ens_params = {s: self.ensemble.init(self.keys.next())
+                           for s in self.scopes}
+        self.trainer = DynamicsTrainer(self.ensemble, cfg.dynamics_opt_params)
+
+        # --- normalization stats ---
+        self.input_stats = running_stats_init(n_obs + n_actions, epsilon=0.0)
+        self.diff_stats = running_stats_init(n_obs, epsilon=0.0)
+
+        # --- replay ---
+        self.dynamics_data = {s: ReplayDataset(rp.training_data_size)
+                              for s in self.scopes}
+        self.dynamics_validation = {s: ReplayDataset(rp.validation_data_size)
+                                    for s in self.scopes}
+
+        # --- env pools (real-env collection + oracle eval) ---
+        n_collect = max(int(np.ceil(cfg.sample_size / rp.max_timestep)), 1)
+        self.collect_pool = make_env_pool(env_factory, n_collect)
+        self.oracle_pool = make_env_pool(env_factory, pop.batch_size)
+
+        # --- fixed policy-validation initial states ---
+        self.policy_validation_init, self.policy_validation_reset_init = \
+            self._make_validation_inits(pop.batch_size)
+
+        # --- policy optimizer ---
+        self.policy_opt = PolicyOptimizer(
+            cfg.algo, self.policy, self.ensemble, env, pop,
+            sample_init_states=self._sample_init_states,
+            oracle_eval=self._oracle_eval,
+            logger=self.logger)
+
+        self.diff_weights: Optional[np.ndarray] = None
+        self.count = 0
+        self.learning_curve: list[dict] = []
+
+    # ------------------------------------------------------------------
+
+    def _make_validation_inits(self, n: int):
+        obs_inits, reset_inits = [], []
+        for _ in range(n):
+            obs = self.env.reset()
+            obs_inits.append(obs)
+            reset_inits.append(self.env.get_reset_state())
+        return np.asarray(obs_inits), np.asarray(reset_inits)
+
+    def _sample_init_states(self, n: int) -> np.ndarray:
+        """Fresh reset observations — the imagined-rollout/BPTT init-state
+        distribution (reference model_based_rl.py:1184: env.reset() batch)."""
+        return np.asarray([self.env.reset() for _ in range(n)])
+
+    def _oracle_eval(self, policy_params) -> float:
+        return evaluate_fixed_init_trajectories(
+            self.env, self.oracle_pool, self.policy, policy_params,
+            self.policy_validation_reset_init,
+            max_timestep=self.cfg.policy_opt_params.oracle_maxtimestep,
+            gamma=self.cfg.policy_opt_params.gamma)
+
+    # ------------------------------------------------------------------
+
+    def run_sweep(self) -> dict:
+        """One outer iteration: collect -> fit models -> optimize policy."""
+        cfg = self.cfg
+        self.count += 1
+        count = self.count
+        timer = PhaseTimer()
+        self.logger.info("\n\n=== Sweep %d ===", count)
+
+        reinit_every = int(cfg.dynamics_opt_params.reinitialize)
+        reinitialize = (count == 1) or (reinit_every > 0 and count % reinit_every == 1)
+
+        # --- collect ---
+        if cfg.sample_size > 0:
+            Os, As, Rs, cinfo = collect_real_rollouts(
+                self.env, self.collect_pool, self.policy, self.policy_params,
+                self.diff_weights, cfg.rollout_params.exploration,
+                cfg.sample_size, cfg.rollout_params.max_timestep,
+                self.keys.next(), logger=self.logger)
+            rollout_data, self.input_stats, self.diff_stats = split_and_store(
+                Os, As, cfg.rollout_params, self.dynamics_data,
+                self.dynamics_validation, self.input_stats, self.diff_stats,
+                self.env.n_obs)
+            self.tabular.record("EpisodesCollected", cinfo.episodes)
+            self.tabular.record("TimeStepsCollected", cinfo.timesteps)
+            self.tabular.record("AvgEpsReward", cinfo.avg_eps_reward)
+        else:
+            rollout_data = []
+        self.tabular.record("collect_data_time", timer.lap())
+
+        # --- fit dynamics ensembles ---
+        dyn_logs = {}
+        for scope in self.scopes:
+            self.ens_params[scope], logs = self.trainer.fit(
+                self.ens_params[scope], self.dynamics_data[scope],
+                self.dynamics_validation[scope], self.input_stats,
+                self.diff_stats, self.keys.next(),
+                reinitialize=reinitialize, logger=self.logger)
+            dyn_logs[scope] = logs
+            self.tabular.record(f"{scope}_min_sum_validation_loss",
+                                logs["min_sum_validation_loss"])
+            self.tabular.record("# model updates", logs["n_updates"])
+        self.tabular.record("model_opt_time", timer.lap())
+
+        # --- optimize policy ---
+        old_flat = np.asarray(tree_flatten_vector(self.policy_params))
+        self.policy_params, pol_logs = self.policy_opt.optimize(
+            self.policy_params, self.ens_params, self.input_stats,
+            self.diff_stats, self.policy_validation_init, self.keys.next())
+        new_flat = np.asarray(tree_flatten_vector(self.policy_params))
+        self.tabular.record("policy_opt_time", timer.lap())
+
+        # --- diff weights for next sweep's param-noise exploration ---
+        if np.any(np.abs(new_flat - old_flat) > 0):
+            self.diff_weights = np.abs(new_flat - old_flat)
+        if self.diff_weights is not None:
+            self.tabular.record("MaxPolicyWeightDiff", float(self.diff_weights.max()))
+            self.tabular.record("MinPolicyWeightDiff", float(self.diff_weights.min()))
+            self.tabular.record("AvgPolicyWeightDiff", float(self.diff_weights.mean()))
+        else:
+            for k in ("MaxPolicyWeightDiff", "MinPolicyWeightDiff",
+                      "AvgPolicyWeightDiff"):
+                self.tabular.record(k, 0)
+
+        # --- log + checkpoint ---
+        self.tabular.record("real_current_validation_cost",
+                            pol_logs["real_current_validation_cost"])
+        self.tabular.record("# policy updates", pol_logs["n_policy_updates"])
+        for mode, vals in pol_logs["min_validation_costs"].items():
+            self.tabular.record(f"{mode}_policy_mean_min_validation_cost",
+                                float(np.mean(vals)))
+        if self.log_dir:
+            with open(os.path.join(
+                    self.log_dir, f"policy_learning_sweep_{count}.pkl"), "wb") as f:
+                pickle.dump(pol_logs, f)
+            with open(os.path.join(
+                    self.log_dir, f"dynamics_learning_sweep_{count}.pkl"), "wb") as f:
+                pickle.dump(dyn_logs, f)
+            save_checkpoint(
+                os.path.join(self.log_dir, f"policy-and-models-{count}.ckpt"),
+                self.state_dict())
+        self.tabular.record("save_and_log_time", timer.lap())
+        self.tabular.record("Time", timer.total())
+        self.tabular.record("Itr", count)
+        self.tabular.dump()
+
+        sweep_summary = {
+            "sweep": count,
+            "real_current_validation_cost": pol_logs["real_current_validation_cost"],
+            "policy_logs": pol_logs,
+            "dynamics_logs": dyn_logs,
+        }
+        self.learning_curve.append({
+            "sweep": count,
+            "real_current_validation_cost": pol_logs["real_current_validation_cost"],
+        })
+        return sweep_summary
+
+    def train(self, sweep_iters: Optional[int] = None) -> list[dict]:
+        n = sweep_iters if sweep_iters is not None else self.cfg.sweep_iters
+        out = []
+        for _ in range(n):
+            out.append(self.run_sweep())
+        if self.log_dir:
+            save_checkpoint(
+                os.path.join(self.log_dir, "policy-and-models-final.ckpt"),
+                self.state_dict())
+        return out
+
+    # ------------------------------------------------------------------
+
+    def state_dict(self) -> dict:
+        return {
+            "count": self.count,
+            "policy_params": self.policy_params,
+            "ens_params": self.ens_params,
+            "input_stats": self.input_stats,
+            "diff_stats": self.diff_stats,
+            "diff_weights": self.diff_weights,
+        }
+
+    def load_state_dict(self, state: dict):
+        self.count = state["count"]
+        self.policy_params = jax.tree_util.tree_map(jnp.asarray,
+                                                    state["policy_params"])
+        self.ens_params = jax.tree_util.tree_map(jnp.asarray, state["ens_params"])
+        self.input_stats = jax.tree_util.tree_map(jnp.asarray, state["input_stats"])
+        self.diff_stats = jax.tree_util.tree_map(jnp.asarray, state["diff_stats"])
+        self.diff_weights = state["diff_weights"]

@@ -1,0 +1,295 @@
+"""Policy optimization inside the learned ensemble, with the
+model-ensemble early-stopping rule.
+
+Re-design of the reference's ``optimize_policy`` loop
+(``model_based_rl.py:1082-1336``) + ``is_done`` (``:1339-1371``) +
+``update_stats`` (``:1403-1419``):
+
+  - the inner iteration is one jitted program per algo: TRPO = imagined
+    scan rollout + natural-gradient update; VPG = rollout + Adam on the
+    REINFORCE surrogate; BPTT = Adam on the differentiable rollout cost;
+  - 'best policy checkpoint' is a retained param pytree, not a file;
+  - the stopping rule is the ensemble vote: stop when the fraction of
+    members whose estimated validation cost increased exceeds
+    percent_models_threshold (the core ME-TRPO contribution), with the
+    reference's alternative modes (real oracle / trpo_mean / one_model /
+    no_early / held-out ensembles).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from metrpo_tpu.algos.bptt import make_bptt_update
+from metrpo_tpu.algos.trpo import make_trpo_update
+from metrpo_tpu.algos.vpg import make_vpg_update
+from metrpo_tpu.config import PolicyOptParams
+from metrpo_tpu.envs.base import AnalyticEnv
+from metrpo_tpu.evaluate import estimate_policy_costs
+from metrpo_tpu.imagine import rollout_trajectories
+from metrpo_tpu.models.dynamics import DynamicsEnsemble
+from metrpo_tpu.models.policy import GaussianMLPPolicy
+
+MODE_ORDER = ["real", "trpo_mean", "estimated", "second_estimated",
+              "third_estimated", "fourth_estimated"]
+SCOPE2MODE = {"training_dynamics": "estimated",
+              "validation_dynamics": "second_estimated",
+              "second_validation_dynamics": "third_estimated",
+              "third_validation_dynamics": "fourth_estimated"}
+
+
+def model_scopes_for_mode(mode: str) -> list[str]:
+    """Which held-out ensembles exist (reference model_based_rl.py:287-299)."""
+    if mode == "fourth_estimated":
+        return ["training_dynamics", "validation_dynamics",
+                "second_validation_dynamics", "third_validation_dynamics"]
+    if mode == "third_estimated":
+        return ["training_dynamics", "validation_dynamics",
+                "second_validation_dynamics"]
+    if mode == "second_estimated":
+        return ["training_dynamics", "validation_dynamics"]
+    return ["training_dynamics"]
+
+
+def is_done(pop: PolicyOptParams, min_validation_costs: dict,
+            candidates: dict, logger=None) -> bool:
+    """The stopping decision (reference model_based_rl.py:1339-1371)."""
+    mode = pop.mode
+    if mode == "real":
+        return min_validation_costs["real"] < candidates["real"]
+    if mode == "trpo_mean":
+        return min_validation_costs["trpo_mean"] < candidates["trpo_mean"]
+    if mode == "one_model":
+        return min_validation_costs["estimated"][0] < candidates["estimated"][0]
+    if mode == "no_early":
+        return False
+    assert "estimated" in mode
+    for _mode in min_validation_costs:
+        if "estimated" in _mode and pop.stop_criterion.vector(
+                min_validation_costs[_mode], candidates[_mode]):
+            if logger:
+                logger.info("\t### %s tells us to stop.", _mode)
+            return True
+    return False
+
+
+def update_stats(min_validation_costs: dict, candidates: dict, whole: bool = False):
+    """Fold accepted candidates into the running minima
+    (reference model_based_rl.py:1403-1419)."""
+    for _mode, costs in min_validation_costs.items():
+        if hasattr(costs, "__iter__") and np.size(costs) != 1:
+            if whole:
+                min_validation_costs[_mode] = np.array(candidates[_mode])
+            else:
+                cur = np.array(costs)
+                cand = np.array(candidates[_mode])
+                min_validation_costs[_mode] = np.where(cand < cur, cand, cur)
+        elif whole or costs > candidates[_mode]:
+            min_validation_costs[_mode] = candidates[_mode]
+
+
+class PolicyOptimizer:
+    """Holds the per-algo jitted update programs + the eval machinery."""
+
+    def __init__(self,
+                 algo_name: str,
+                 policy: GaussianMLPPolicy,
+                 ensemble: DynamicsEnsemble,
+                 env: AnalyticEnv,
+                 pop: PolicyOptParams,
+                 sample_init_states: Callable[[int], np.ndarray],
+                 oracle_eval: Callable[[dict], float],
+                 logger=None):
+        self.algo_name = algo_name
+        self.policy = policy
+        self.ensemble = ensemble
+        self.env = env
+        self.pop = pop
+        self.sample_init_states = sample_init_states
+        self.oracle_eval = oracle_eval
+        self.logger = logger
+
+        cost_fn = env.cost
+        is_done_fn = env.is_done if env.has_analytic_done else None
+        cwd_fn = env.cost_with_dones if env.has_analytic_done else None
+        self.cost_fn, self.is_done_fn, self.cwd_fn = cost_fn, is_done_fn, cwd_fn
+
+        if algo_name == "trpo":
+            self._trpo_update = make_trpo_update(policy, pop.trpo)
+            self.n_particles = max(pop.trpo.batch_size // pop.T, 1)
+            self.init_std = pop.trpo.init_std
+            self.reset_std = pop.trpo.reset
+            self.discount = pop.trpo.discount
+        elif algo_name == "vpg":
+            self._vpg_update, self._vpg_opt_init = make_vpg_update(policy, pop.vpg)
+            self.n_particles = max(pop.vpg.batch_size // pop.T, 1)
+            self.init_std = pop.vpg.init_std
+            self.reset_std = pop.vpg.reset
+            self.discount = pop.vpg.discount
+        elif algo_name in ("bptt", "bptt-stochastic", "l-bfgs", "svg"):
+            stochastic = 1.0 if algo_name == "bptt-stochastic" else 0.0
+            self._bptt_update, self._bptt_opt_init = make_bptt_update(
+                policy, ensemble, cost_fn, is_done_fn, cwd_fn, pop,
+                stochastic=stochastic)
+            self.n_particles = pop.batch_size
+            self.init_std = pop.trpo.init_std
+            self.reset_std = False
+            self.discount = pop.gamma
+        else:
+            raise ValueError(f"unknown algo {algo_name!r}")
+
+        # jitted imagined-trajectory sampler (TRPO/VPG path)
+        self._rollout = jax.jit(functools.partial(
+            rollout_trajectories, policy, ensemble, cost_fn, is_done_fn),
+            static_argnames=("T", "sam_mode", "deterministic"))
+
+    # -- single algo iteration --------------------------------------------
+
+    def _algo_iteration(self, policy_params, opt_state, ens_params,
+                        input_stats, diff_stats, key):
+        pop = self.pop
+        inits = jnp.asarray(self.sample_init_states(self.n_particles), jnp.float32)
+        if self.algo_name == "trpo":
+            k1, k2 = jax.random.split(key)
+            batch = self._rollout(policy_params, ens_params, input_stats,
+                                  diff_stats, inits, T=pop.T, key=k1,
+                                  sam_mode=pop.sam_mode)
+            policy_params, stats = self._trpo_update(policy_params, batch)
+            return policy_params, opt_state, 0.0
+        if self.algo_name == "vpg":
+            k1, k2 = jax.random.split(key)
+            batch = self._rollout(policy_params, ens_params, input_stats,
+                                  diff_stats, inits, T=pop.T, key=k1,
+                                  sam_mode=pop.sam_mode)
+            policy_params, opt_state, stats = self._vpg_update(
+                policy_params, opt_state, batch)
+            return policy_params, opt_state, 0.0
+        # bptt family
+        policy_params, opt_state, stats = self._bptt_update(
+            policy_params, opt_state, ens_params, input_stats, diff_stats,
+            inits, key)
+        return policy_params, opt_state, float(stats.training_cost)
+
+    # -- the sweep-level optimization loop --------------------------------
+
+    def optimize(self,
+                 policy_params: dict,
+                 scope_ens_params: dict[str, dict],
+                 input_stats, diff_stats,
+                 validation_inits: np.ndarray,
+                 key) -> tuple[dict, dict]:
+        """One full policy-optimization phase. Returns (best_params, logs)."""
+        pop = self.pop
+        logger = self.logger
+
+        # reset logstd + fresh optimizer state (model_based_rl.py:1118-1124)
+        if self.reset_std:
+            policy_params = self.policy.reset_logstd(policy_params, self.init_std)
+        if self.algo_name == "vpg":
+            opt_state = self._vpg_opt_init(policy_params)
+        elif self.algo_name in ("bptt", "bptt-stochastic"):
+            opt_state = self._bptt_opt_init(policy_params)
+        else:
+            opt_state = None
+
+        best_params = policy_params
+        v_inits = jnp.asarray(validation_inits, jnp.float32)
+
+        def estimated_costs(params):
+            return {
+                scope: estimate_policy_costs(
+                    self.policy, self.ensemble, self.cost_fn, self.is_done_fn,
+                    self.cwd_fn, params, scope_ens_params[scope],
+                    input_stats, diff_stats, v_inits, pop.T, pop.gamma)
+                for scope in scope_ens_params
+            }
+
+        min_costs: dict = {"real": self.oracle_eval(policy_params),
+                           "trpo_mean": np.inf}
+        for scope, costs in estimated_costs(policy_params).items():
+            min_costs[SCOPE2MODE[scope]] = costs
+
+        best_index = 0
+        real_current = min_costs["real"]
+        training_costs, real_costs, estimated_hist = [], [], {}
+        if logger:
+            logger.info("iter 0 (no update yet): real %.3f estimated %s",
+                        min_costs["real"],
+                        np.array2string(np.asarray(min_costs["estimated"])[:5],
+                                        precision=2))
+
+        candidates: dict = {}
+        j = 0
+        for j in range(1, pop.max_iters + 1):
+            key, k_iter = jax.random.split(key)
+            policy_params, opt_state, training_cost = self._algo_iteration(
+                policy_params, opt_state,
+                scope_ens_params["training_dynamics"],
+                input_stats, diff_stats, k_iter)
+
+            if j % pop.log_every == 0:
+                training_costs.append(training_cost)
+                # trpo_mean candidate (deterministic imagined rollouts)
+                if self.algo_name == "trpo" and pop.mode == "trpo_mean":
+                    key, k_d = jax.random.split(key)
+                    inits = jnp.asarray(
+                        self.sample_init_states(self.n_particles), jnp.float32)
+                    batch = self._rollout(
+                        policy_params, scope_ens_params["training_dynamics"],
+                        input_stats, diff_stats, inits, T=pop.T, key=k_d,
+                        sam_mode=pop.sam_mode, deterministic=True)
+                    returns = np.asarray(
+                        jnp.sum(batch.rewards * batch.valids, axis=1))
+                    candidates["trpo_mean"] = float(np.mean(-returns))
+                else:
+                    candidates["trpo_mean"] = 0.0
+
+                for scope, costs in estimated_costs(policy_params).items():
+                    mode = SCOPE2MODE[scope]
+                    candidates[mode] = costs
+                    estimated_hist.setdefault(mode, []).append(float(np.mean(costs)))
+
+                candidates["real"] = self.oracle_eval(policy_params)
+                real_costs.append(candidates["real"])
+
+                if logger:
+                    logger.info(
+                        "iter %d train %.3f real %.3f est %s", j, training_cost,
+                        candidates["real"],
+                        np.array2string(np.asarray(candidates["estimated"])[:5],
+                                        precision=2))
+
+                if not is_done(pop, min_costs, candidates, logger):
+                    best_index = j
+                    real_current = candidates["real"]
+                    best_params = policy_params
+                    update_stats(min_costs, candidates, pop.whole)
+                if j - best_index >= pop.num_iters_threshold:
+                    break
+
+        if logger:
+            logger.info("Stop at iter %d. Recover to iter %d.", j, best_index)
+
+        if pop.mode in ("one_model", "no_early"):
+            best_cost = float(np.asarray(min_costs["estimated"])[0])
+        else:
+            best_cost = float(np.mean(min_costs[pop.mode]))
+
+        logs = {
+            "real_validation_costs": real_costs,
+            "training_costs": training_costs,
+            "estimated_validation_costs": estimated_hist,
+            "best_index": best_index,
+            "best_cost": best_cost,
+            "real_current_validation_cost": real_current,
+            "min_validation_costs": {
+                k: (np.asarray(v).tolist() if hasattr(v, "__iter__") else v)
+                for k, v in min_costs.items()},
+            "n_policy_updates": best_index,
+        }
+        return best_params, logs

@@ -1,0 +1,103 @@
+"""Minimum end-to-end slice: Point2D + BPTT (SURVEY.md §7).
+
+Exercises every layer except MuJoCo and TRPO: pure-numpy env, scan
+rollout, ensemble fit with per-member early stopping, Adam policy
+updates, ensemble-vote early stopping, real-env oracle eval.
+The learning signal check: real_current_validation_cost falls.
+"""
+
+import numpy as np
+import pytest
+
+from metrpo_tpu.config import config_from_dict
+from metrpo_tpu.envs.point2d import Point2DEnv
+from metrpo_tpu.orchestrator import Trainer
+
+POINT2D_TINY = {
+    "algo": "bptt",
+    "env": "point2D",
+    "n_models": 3,
+    "sample_size": 200,
+    "sweep_iters": 2,
+    "seed": 0,
+    "policy": {"hidden_layers": [16, 16], "output_nonlinearity": "identity"},
+    "dynamics_model": {
+        "hidden_layers": [64, 64],
+        "regularization": {"method": "l2", "constant": 0.0},
+        "nonlinearity": ["relu", "relu"],
+        "prediction_type": "state_change",
+    },
+    "dynamics_opt_params": {
+        "learning_rate": {"scratch": 1e-3, "refine": 1e-3},
+        "batch_size": 50,
+        "max_passes": 40,
+        "num_passes_threshold": 10,
+        "log_every": 5,
+        "sample_mode": "random",
+        "reinitialize": False,
+    },
+    "policy_opt_params": {
+        "mode": "estimated",
+        "whole": True,
+        "T": 10,
+        "gamma": 1.0,
+        "grad_norm_clipping": 10,
+        "learning_rate": 1e-3,
+        "log_every": 5,
+        "num_iters_threshold": 10,
+        "max_iters": 40,
+        "oracle_maxtimestep": 10,
+        "batch_size": 8,
+        "sam_mode": "step_rand",
+        "stop_critereon": {"offset": 1e-5, "threshold": 0.1,
+                           "percent_models_threshold": 0.3},
+        "trpo": {"init_std": 1.0, "step_size": 0.01, "batch_size": 800,
+                 "reset": True, "discount": 1.0},
+        "vpg": {"init_std": 1.0, "batch_size": 800, "reset": True},
+    },
+    "rollout_params": {
+        "max_timestep": 10,
+        "split_ratio": 0.3,
+        "splitting_mode": "trajectory",
+        "use_same_dataset": True,
+        "training_data_size": 20000,
+        "validation_data_size": 10000,
+        "exploration": {"initial_param_std": 0.0, "param_noise": 1.0,
+                        "action_noise": 1.0, "vary_trajectory_noise": False},
+    },
+}
+
+
+@pytest.mark.slow
+def test_point2d_bptt_end_to_end(tmp_path):
+    np.random.seed(0)
+    cfg = config_from_dict(POINT2D_TINY)
+    env = Point2DEnv()
+    trainer = Trainer(cfg, env, Point2DEnv, snapshot_dir=str(tmp_path))
+    results = trainer.train(sweep_iters=2)
+    assert len(results) == 2
+    costs = [r["real_current_validation_cost"] for r in results]
+    # Point2D starts at ~distance 9.4 from goal * 10 steps ~ 90+ cost;
+    # after two sweeps of BPTT through a fitted model the cost must drop.
+    assert costs[-1] < costs[0], f"no learning: {costs}"
+    # replay filled and stats updated
+    assert len(trainer.dynamics_data["training_dynamics"]) > 0
+    assert float(trainer.input_stats.count) > 0
+    # progress.csv written with the headline metric
+    rows = trainer.tabular.rows
+    assert "real_current_validation_cost" in rows[-1]
+    assert (tmp_path / "progress.csv").exists()
+    assert (tmp_path / "training_logs" / "policy-and-models-final.ckpt").exists()
+
+
+@pytest.mark.slow
+def test_point2d_trpo_smoke(tmp_path):
+    np.random.seed(0)
+    raw = dict(POINT2D_TINY)
+    raw["algo"] = "trpo"
+    raw["sweep_iters"] = 1
+    cfg = config_from_dict(raw)
+    env = Point2DEnv()
+    trainer = Trainer(cfg, env, Point2DEnv, snapshot_dir=str(tmp_path))
+    results = trainer.train(sweep_iters=1)
+    assert np.isfinite(results[0]["real_current_validation_cost"])
