@@ -1,0 +1,125 @@
+"""Host-side MuJoCo env base.
+
+The real-env ground truth stays on CPU (modern ``mujoco`` bindings replace
+the reference's mujoco-py 0.5.7 via rllab's MujocoEnv — SURVEY.md §2.9-bis);
+the analytic cost functions live in jnp on the subclasses.  Actions arrive
+normalized to [-1, 1] (the rllab ``normalize`` wrapper contract,
+env_helpers.py:13-33) and are scaled to the actuator ctrlrange here.
+
+COM observations use MuJoCo's subtree quantities: ``data.subtree_com`` for
+the body-subtree center of mass and ``mj_subtreeVel``'s
+``data.subtree_linvel`` for its velocity (the modern equivalents of rllab's
+``get_body_com`` / ``get_body_comvel``).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import mujoco
+import numpy as np
+
+from metrpo_tpu.envs.base import Box, HostEnv
+
+_ASSETS = os.path.join(os.path.dirname(os.path.abspath(__file__)), "assets")
+
+
+def _gym_asset(name: str) -> str:
+    import gymnasium.envs.mujoco as gm
+    return os.path.join(os.path.dirname(gm.__file__), "assets", name)
+
+
+def resolve_asset(name: str) -> str:
+    local = os.path.join(_ASSETS, name)
+    if os.path.exists(local):
+        return local
+    return _gym_asset(name)
+
+
+class MujocoHostEnv(HostEnv):
+    """Stateful single MuJoCo sim with the HostEnv API."""
+
+    XML: str = ""
+    FRAME_SKIP: int = 5
+    # reset-state noise (rllab MujocoEnv-style small gaussian perturbations)
+    RESET_NOISE_QPOS: float = 0.01
+    RESET_NOISE_QVEL: float = 0.01
+
+    def __init__(self, seed: int = 0):
+        self.model = mujoco.MjModel.from_xml_path(resolve_asset(self.XML))
+        self.data = mujoco.MjData(self.model)
+        self.init_qpos = self.data.qpos.copy()
+        self.init_qvel = self.data.qvel.copy()
+        self._torso_id = mujoco.mj_name2id(
+            self.model, mujoco.mjtObj.mjOBJ_BODY, "torso")
+        n_act = self.model.nu
+        self.action_space = Box(-np.ones(n_act, np.float32),
+                                np.ones(n_act, np.float32))
+        obs = self.reset()
+        inf = np.inf
+        self.observation_space = Box(-inf * np.ones(obs.shape[0], np.float32),
+                                     inf * np.ones(obs.shape[0], np.float32))
+
+    # -- mujoco helpers ----------------------------------------------------
+
+    @property
+    def dt(self) -> float:
+        return self.model.opt.timestep * self.FRAME_SKIP
+
+    def body_com(self, body_id: Optional[int] = None) -> np.ndarray:
+        bid = self._torso_id if body_id is None else body_id
+        return self.data.subtree_com[bid].copy()
+
+    def body_comvel(self, body_id: Optional[int] = None) -> np.ndarray:
+        bid = self._torso_id if body_id is None else body_id
+        mujoco.mj_subtreeVel(self.model, self.data)
+        return self.data.subtree_linvel[bid].copy()
+
+    def _scale_action(self, action: np.ndarray) -> np.ndarray:
+        lo, hi = self.model.actuator_ctrlrange[:, 0], self.model.actuator_ctrlrange[:, 1]
+        return lo + (np.clip(action, -1.0, 1.0) + 1.0) * 0.5 * (hi - lo)
+
+    def forward_dynamics(self, action: np.ndarray):
+        self.data.ctrl[:] = self._scale_action(action)
+        for _ in range(self.FRAME_SKIP):
+            mujoco.mj_step(self.model, self.data)
+        # mj_step leaves derived quantities (xpos, cvel, subtree_*) at the
+        # pre-integration state; recompute them for the new qpos/qvel so
+        # COM observations are current (rllab called model.forward() too).
+        mujoco.mj_forward(self.model, self.data)
+
+    # -- HostEnv API -------------------------------------------------------
+
+    def get_current_obs(self) -> np.ndarray:
+        raise NotImplementedError
+
+    def reset(self, init_state: Optional[np.ndarray] = None) -> np.ndarray:
+        mujoco.mj_resetData(self.model, self.data)
+        if init_state is None:
+            self.data.qpos[:] = self.init_qpos + \
+                np.random.normal(size=self.model.nq) * self.RESET_NOISE_QPOS
+            self.data.qvel[:] = self.init_qvel + \
+                np.random.normal(size=self.model.nv) * self.RESET_NOISE_QVEL
+        else:
+            self._apply_init_state(np.asarray(init_state, np.float64))
+        mujoco.mj_forward(self.model, self.data)
+        return self.get_current_obs()
+
+    def _apply_init_state(self, init_state: np.ndarray):
+        """Default: init_state = concat[qpos, qvel]."""
+        nq = self.model.nq
+        self.data.qpos[:] = init_state[:nq]
+        self.data.qvel[:] = init_state[nq: nq + self.model.nv]
+
+    def get_reset_state(self) -> np.ndarray:
+        return np.concatenate([self.data.qpos, self.data.qvel])
+
+    def reset_to(self, reset_state: np.ndarray) -> np.ndarray:
+        mujoco.mj_resetData(self.model, self.data)
+        self._apply_init_state(np.asarray(reset_state, np.float64))
+        mujoco.mj_forward(self.model, self.data)
+        return self.get_current_obs()
+
+    def step(self, action: np.ndarray):
+        raise NotImplementedError

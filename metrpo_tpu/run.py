@@ -1,0 +1,91 @@
+"""CLI launcher.
+
+In-tree analog of reference ``run_model_based_rl.py:54-184``:
+
+    python -m metrpo_tpu.run trpo -env half-cheetah -seed 5 \
+        -replace '{"policy_opt_params": {"max_iters": 100}}'
+
+Loads params/params-<env>.json, applies a ``-replace`` dict override
+(strict key checking, ``ast.literal_eval`` instead of the reference's
+``eval``), guards algo/env mismatches against the JSON, and runs N seeds
+sequentially in-process (the reference's ``-n N`` launched N EC2
+instances; multi-seed fleet parallelism here is one process per seed or a
+pod slice per seed — see parallel/).
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import os
+import sys
+
+from metrpo_tpu.config import (default_params_path, load_config,
+                               update_dictionary)
+
+ALGOS = ("trpo", "vpg", "bptt", "bptt-stochastic", "svg", "l-bfgs", "ppo")
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="TPU-native ME-TRPO")
+    p.add_argument("algo", type=str, choices=ALGOS)
+    p.add_argument("-env", type=str, default=None,
+                   help="env name (params/params-<env>.json must exist)")
+    p.add_argument("-params", type=str, default=None,
+                   help="explicit params JSON path")
+    p.add_argument("-seed", type=int, default=0)
+    p.add_argument("-n", type=int, default=1, help="number of seeds")
+    p.add_argument("-replace", type=str, default=None,
+                   help="python dict literal merged over the JSON config")
+    p.add_argument("-sweeps", type=int, default=None,
+                   help="override sweep_iters")
+    p.add_argument("-snapshot-dir", type=str, default=None)
+    p.add_argument("-resume", action="store_true")
+    p.add_argument("-yes", action="store_true",
+                   help="skip interactive algo/env mismatch confirmation")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    path = args.params or default_params_path(args.env)
+    if not os.path.exists(path):
+        sys.exit(f"params file not found: {path}")
+
+    overrides = {}
+    if args.replace:
+        overrides = ast.literal_eval(args.replace)
+        assert isinstance(overrides, dict), "-replace must be a dict literal"
+
+    cfg = load_config(path, overrides=overrides or None)
+
+    # algo/env mismatch guards (reference run_model_based_rl.py:99-128)
+    if cfg.algo != args.algo:
+        if not args.yes and sys.stdin.isatty():
+            resp = input(
+                f"Config algo is {cfg.algo!r} but CLI says {args.algo!r}. "
+                f"Use {args.algo!r}? [y/N] ")
+            if resp.lower() not in ("y", "yes"):
+                sys.exit("aborted")
+        import dataclasses
+        cfg = dataclasses.replace(cfg, algo=args.algo)
+    if args.env and cfg.env != args.env:
+        sys.exit(f"Config env {cfg.env!r} != CLI env {args.env!r}")
+
+    # l-bfgs runs a single full optimization per sweep
+    if cfg.algo == "l-bfgs" and cfg.policy_opt_params.max_iters != 1:
+        import dataclasses
+        cfg = dataclasses.replace(
+            cfg, policy_opt_params=dataclasses.replace(
+                cfg.policy_opt_params, max_iters=1))
+
+    from metrpo_tpu.train import train
+    import dataclasses
+    for i in range(args.n):
+        seed_cfg = dataclasses.replace(cfg, seed=args.seed + i)
+        train(seed_cfg, snapshot_dir=args.snapshot_dir,
+              sweep_iters=args.sweeps, resume=args.resume)
+
+
+if __name__ == "__main__":
+    main()
