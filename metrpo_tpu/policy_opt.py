@@ -131,7 +131,7 @@ class PolicyOptimizer:
             self.init_std = pop.vpg.init_std
             self.reset_std = pop.vpg.reset
             self.discount = pop.vpg.discount
-        elif algo_name in ("bptt", "bptt-stochastic", "l-bfgs", "svg"):
+        elif algo_name in ("bptt", "bptt-stochastic"):
             stochastic = 1.0 if algo_name == "bptt-stochastic" else 0.0
             self._bptt_update, self._bptt_opt_init = make_bptt_update(
                 policy, ensemble, cost_fn, is_done_fn, cwd_fn, pop,
@@ -140,6 +140,31 @@ class PolicyOptimizer:
             self.init_std = pop.trpo.init_std
             self.reset_std = False
             self.discount = pop.gamma
+        elif algo_name == "l-bfgs":
+            from metrpo_tpu.algos.lbfgs import make_lbfgs_optimize
+            self._lbfgs_optimize = make_lbfgs_optimize(
+                policy, ensemble, cost_fn, is_done_fn, cwd_fn, pop)
+            self.n_particles = pop.batch_size
+            self.init_std = pop.trpo.init_std
+            self.reset_std = False
+            self.discount = pop.gamma
+        elif algo_name == "svg":
+            from metrpo_tpu.algos.svg import make_svg_update
+            self._svg_update = make_svg_update(
+                policy, ensemble, cost_fn, pop.learning_rate, pop.T, pop.gamma)
+            self.n_particles = pop.batch_size
+            self.init_std = pop.trpo.init_std
+            self.reset_std = False
+            self.discount = pop.gamma
+        elif algo_name == "ppo":
+            from metrpo_tpu.algos.ppo import PpoConfig, make_ppo_update
+            self._ppo_update, self._ppo_init = make_ppo_update(
+                policy, PpoConfig(discount=pop.trpo.discount,
+                                  gae_lambda=pop.trpo.gae_lambda))
+            self.n_particles = max(pop.trpo.batch_size // pop.T, 1)
+            self.init_std = pop.trpo.init_std
+            self.reset_std = pop.trpo.reset
+            self.discount = pop.trpo.discount
         else:
             raise ValueError(f"unknown algo {algo_name!r}")
 
@@ -169,6 +194,25 @@ class PolicyOptimizer:
             policy_params, opt_state, stats = self._vpg_update(
                 policy_params, opt_state, batch)
             return policy_params, opt_state, 0.0
+        if self.algo_name == "ppo":
+            k1, _ = jax.random.split(key)
+            batch = self._rollout(policy_params, ens_params, input_stats,
+                                  diff_stats, inits, T=pop.T, key=k1,
+                                  sam_mode=pop.sam_mode)
+            policy_params, opt_state, stats = self._ppo_update(
+                policy_params, opt_state, batch)
+            return policy_params, opt_state, float(stats.loss)
+        if self.algo_name == "l-bfgs":
+            # one full L-BFGS minimize per call (reference forces
+            # max_iters=1, run_model_based_rl.py:114-117)
+            policy_params, final_cost, n_iters = self._lbfgs_optimize(
+                policy_params, ens_params, input_stats, diff_stats, inits)
+            return policy_params, opt_state, float(final_cost)
+        if self.algo_name == "svg":
+            member0 = jax.tree_util.tree_map(lambda l: l[0], ens_params)
+            policy_params, cost, _ = self._svg_update(
+                policy_params, member0, input_stats, diff_stats, inits)
+            return policy_params, opt_state, float(cost)
         # bptt family
         policy_params, opt_state, stats = self._bptt_update(
             policy_params, opt_state, ens_params, input_stats, diff_stats,
@@ -194,6 +238,8 @@ class PolicyOptimizer:
             opt_state = self._vpg_opt_init(policy_params)
         elif self.algo_name in ("bptt", "bptt-stochastic"):
             opt_state = self._bptt_opt_init(policy_params)
+        elif self.algo_name == "ppo":
+            opt_state = self._ppo_init(policy_params)
         else:
             opt_state = None
 
@@ -263,6 +309,15 @@ class PolicyOptimizer:
                         candidates["real"],
                         np.array2string(np.asarray(candidates["estimated"])[:5],
                                         precision=2))
+
+                if self.algo_name == "svg":
+                    # one SVG update per sweep; evaluate once and stop
+                    # (reference model_based_rl.py:1280-1282)
+                    best_index = j
+                    real_current = candidates["real"]
+                    best_params = policy_params
+                    update_stats(min_costs, candidates, pop.whole)
+                    break
 
                 if not is_done(pop, min_costs, candidates, logger):
                     best_index = j
