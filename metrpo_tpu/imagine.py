@@ -31,8 +31,8 @@ from metrpo_tpu.models.dynamics import DynamicsEnsemble
 from metrpo_tpu.models.policy import GaussianMLPPolicy
 from metrpo_tpu.utils.normalizer import RunningStats
 
-SAM_MODES = ("step_rand", "eps_rand", "model_mean", "model_mean_std",
-             "model_med", "one_model")
+SAM_MODES = ("step_rand", "step_rand_balanced", "eps_rand", "model_mean",
+             "model_mean_std", "model_med", "one_model")
 
 
 # ---------------------------------------------------------------------------
@@ -151,6 +151,9 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
     key, k_eps = jax.random.split(key)
     eps_member_idx = jax.random.randint(k_eps, (B,), 0, ensemble.n_models)
 
+    K = ensemble.n_models
+    balanced = sam_mode == "step_rand_balanced" and B % K == 0
+
     def step(carry, k):
         x, alive, eps_idx = carry
         k_act, k_member, k_mix = jax.random.split(k, 3)
@@ -161,12 +164,28 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
             a = mean + jax.random.normal(k_act, mean.shape) * jnp.exp(logstd)
         a_clip = jnp.clip(a, policy.action_low, policy.action_high)
         xgu = jnp.concatenate([x, a_clip], axis=-1)
-        preds = ensemble.apply_all(ens_params, xgu, input_stats, diff_stats)
-        if sam_mode == "step_rand":
-            member_idx = jax.random.randint(k_member, (B,), 0, ensemble.n_models)
+        if balanced:
+            # Balanced member assignment: permute particles and give each
+            # member one contiguous block — every particle still gets a
+            # uniformly-random member each step (marginally identical to
+            # step_rand, sampled without replacement across the batch) but
+            # each member runs on B/K rows instead of all B: K x fewer
+            # FLOPs in the hot loop.
+            perm = jax.random.permutation(k_member, B)
+            inv = jnp.argsort(perm)
+            xgu_blocks = xgu[perm].reshape(K, B // K, -1)
+            preds = ensemble.apply_batched(ens_params, xgu_blocks,
+                                           input_stats, diff_stats)
+            x_next = preds.reshape(B, -1)[inv]
         else:
-            member_idx = eps_idx
-        x_next = _mix_members(preds, sam_mode, member_idx, k_mix)
+            preds = ensemble.apply_all(ens_params, xgu, input_stats, diff_stats)
+            if sam_mode in ("step_rand", "step_rand_balanced"):
+                member_idx = jax.random.randint(k_member, (B,), 0, K)
+                mix_mode = "step_rand"
+            else:
+                member_idx = eps_idx
+                mix_mode = sam_mode
+            x_next = _mix_members(preds, mix_mode, member_idx, k_mix)
         reward = -cost_fn(x, a_clip, x_next)
         if is_done_fn is not None:
             done = is_done_fn(x, x_next).astype(jnp.float32)

@@ -85,14 +85,34 @@ class Trainer:
         self.dynamics_validation = {s: ReplayDataset(rp.validation_data_size)
                                     for s in self.scopes}
 
-        # --- env pools (real-env collection + oracle eval) ---
-        n_collect = max(int(np.ceil(cfg.sample_size / rp.max_timestep)), 1)
-        self.collect_pool = make_env_pool(env_factory, n_collect)
-        self.oracle_pool = make_env_pool(env_factory, pop.batch_size)
+        # --- real-env runtime: fully on-device for pure-JAX envs,
+        # batched host pools for MuJoCo ---
+        from metrpo_tpu.envs.base import JaxEnv
+        self.use_device_runtime = isinstance(env, JaxEnv)
+        if self.use_device_runtime:
+            from metrpo_tpu.jax_runtime import (make_device_collector,
+                                                make_device_oracle)
+            self._device_collector = make_device_collector(
+                env, self.policy, rp.exploration, rp.max_timestep)
+            self._device_oracle = make_device_oracle(
+                env, self.policy, pop.oracle_maxtimestep, pop.gamma)
+            self.collect_pool = None
+            self.oracle_pool = None
+        else:
+            n_collect = max(int(np.ceil(cfg.sample_size / rp.max_timestep)), 1)
+            self.collect_pool = make_env_pool(env_factory, n_collect)
+            self.oracle_pool = make_env_pool(env_factory, pop.batch_size)
 
-        # --- fixed policy-validation initial states ---
+        # --- fixed policy-validation initial states (persisted + reused
+        # across runs when validation_init_path is set,
+        # reference model_based_rl.py:443-487) ---
         self.policy_validation_init, self.policy_validation_reset_init = \
-            self._make_validation_inits(pop.batch_size)
+            self._load_or_make_validation_inits(pop)
+
+        # --- optional replay preload (rollout_params.load_rollout_data,
+        # reference model_based_rl.py:431-439) ---
+        if rp.load_rollout_data and rp.datapath and os.path.isfile(rp.datapath):
+            self._preload_replay(rp.datapath, rp.split_ratio)
 
         # --- policy optimizer ---
         self.policy_opt = PolicyOptimizer(
@@ -115,12 +135,61 @@ class Trainer:
             reset_inits.append(self.env.get_reset_state())
         return np.asarray(obs_inits), np.asarray(reset_inits)
 
+    def _load_or_make_validation_inits(self, pop):
+        path = pop.validation_init_path
+        if path and os.path.isfile(path):
+            with open(path, "rb") as f:
+                obs_inits, reset_inits = pickle.load(f)
+            self.logger.info("Loaded policy validation inits from %s", path)
+            return np.asarray(obs_inits), np.asarray(reset_inits)
+        obs_inits, reset_inits = self._make_validation_inits(pop.batch_size)
+        if path:
+            os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+            with open(path, "wb") as f:
+                pickle.dump((obs_inits, reset_inits), f)
+            self.logger.info("Created policy validation inits at %s", path)
+        return obs_inits, reset_inits
+
+    def _preload_replay(self, datapath: str, split_ratio: float):
+        """Preload replay from a pickle of (x, y) arrays or a dict with
+        x/y[/x_valid/y_valid]."""
+        with open(datapath, "rb") as f:
+            blob = pickle.load(f)
+        if isinstance(blob, dict):
+            x, y = np.asarray(blob["x"]), np.asarray(blob["y"])
+            xv = np.asarray(blob.get("x_valid", x[:0]))
+            yv = np.asarray(blob.get("y_valid", y[:0]))
+        else:
+            x, y = np.asarray(blob[0]), np.asarray(blob[1])
+            n_val = round(split_ratio * len(x))
+            xv, yv = x[:n_val], y[:n_val]
+            x, y = x[n_val:], y[n_val:]
+        from metrpo_tpu.utils.normalizer import running_stats_update
+        for scope in self.scopes:
+            self.dynamics_data[scope].add_data(x, y)
+            if len(xv):
+                self.dynamics_validation[scope].add_data(xv, yv)
+        self.input_stats = running_stats_update(self.input_stats, x)
+        self.diff_stats = running_stats_update(
+            self.diff_stats, y - x[:, : self.env.n_obs])
+        self.logger.info("Preloaded %d train / %d val transitions from %s",
+                         len(x), len(xv), datapath)
+
     def _sample_init_states(self, n: int) -> np.ndarray:
         """Fresh reset observations — the imagined-rollout/BPTT init-state
         distribution (reference model_based_rl.py:1184: env.reset() batch)."""
+        if self.use_device_runtime:
+            keys = jax.random.split(self.keys.next(), n)
+            states = jax.vmap(self.env.initial_state)(keys)
+            return np.asarray(jax.vmap(self.env.observe)(states))
         return np.asarray([self.env.reset() for _ in range(n)])
 
     def _oracle_eval(self, policy_params) -> float:
+        if self.use_device_runtime:
+            # state == reset-state for JaxEnvs; one jitted scan, no host loop
+            return float(self._device_oracle(
+                policy_params,
+                jnp.asarray(self.policy_validation_reset_init, jnp.float32)))
         return evaluate_fixed_init_trajectories(
             self.env, self.oracle_pool, self.policy, policy_params,
             self.policy_validation_reset_init,
@@ -142,15 +211,32 @@ class Trainer:
 
         # --- collect ---
         if cfg.sample_size > 0:
-            Os, As, Rs, cinfo = collect_real_rollouts(
-                self.env, self.collect_pool, self.policy, self.policy_params,
-                self.diff_weights, cfg.rollout_params.exploration,
-                cfg.sample_size, cfg.rollout_params.max_timestep,
-                self.keys.next(), logger=self.logger)
+            if self.use_device_runtime:
+                from metrpo_tpu.jax_runtime import collect_episodes_on_device
+                Os, As, Rs, cinfo = collect_episodes_on_device(
+                    self.env, self.policy, self.policy_params,
+                    self.diff_weights, cfg.rollout_params.exploration,
+                    cfg.sample_size, cfg.rollout_params.max_timestep,
+                    self.keys.next(), collector=self._device_collector)
+            else:
+                Os, As, Rs, cinfo = collect_real_rollouts(
+                    self.env, self.collect_pool, self.policy, self.policy_params,
+                    self.diff_weights, cfg.rollout_params.exploration,
+                    cfg.sample_size, cfg.rollout_params.max_timestep,
+                    self.keys.next(), logger=self.logger)
             rollout_data, self.input_stats, self.diff_stats = split_and_store(
                 Os, As, cfg.rollout_params, self.dynamics_data,
                 self.dynamics_validation, self.input_stats, self.diff_stats,
                 self.env.n_obs)
+            if self.log_dir:
+                # per-sweep rollout pickle (model_based_rl.py:810-812)
+                x_new = np.concatenate(
+                    [np.concatenate([o[:-1], a], axis=1)
+                     for o, a in zip(Os, As)])
+                y_new = np.concatenate([o[1:] for o in Os])
+                with open(os.path.join(
+                        self.log_dir, f"new_rollouts_{count}.pkl"), "wb") as f:
+                    pickle.dump((x_new, y_new), f)
             self.tabular.record("EpisodesCollected", cinfo.episodes)
             self.tabular.record("TimeStepsCollected", cinfo.timesteps)
             self.tabular.record("AvgEpsReward", cinfo.avg_eps_reward)
