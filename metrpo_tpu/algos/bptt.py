@@ -61,7 +61,8 @@ def make_bptt_update(policy: GaussianMLPPolicy,
         costs = bptt_costs(policy, ensemble, cost_fn, is_done_fn,
                            cost_with_dones_fn, policy_params, ens_params,
                            input_stats, diff_stats, init_states,
-                           pop.T, pop.gamma, stochastic=stochastic, key=key)
+                           pop.T, pop.gamma, stochastic=stochastic, key=key,
+                           remat=pop.remat)
         # training objective = mean over ensemble members
         # (model_based_rl.py:365 training_policy_cost)
         return jnp.mean(costs)

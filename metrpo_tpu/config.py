@@ -167,6 +167,7 @@ class PolicyOptParams:
     vpg: VpgParams = field(default_factory=VpgParams)
     batch_size: int = 500    # number of imagined particles / validation inits
     sam_mode: str = "step_rand"
+    remat: bool = False      # jax.checkpoint the BPTT rollout step (O(1)-in-T memory)
 
 
 @dataclass(frozen=True)
@@ -364,6 +365,7 @@ def config_from_dict(raw: dict) -> ExperimentConfig:
         ),
         batch_size=pop_raw.get("batch_size", 500),
         sam_mode=pop_raw.get("sam_mode", "step_rand"),
+        remat=bool(pop_raw.get("remat", False)),
     )
 
     rp_raw = raw.get("rollout_params", {})

@@ -123,3 +123,15 @@ class MujocoHostEnv(HostEnv):
 
     def step(self, action: np.ndarray):
         raise NotImplementedError
+
+    # -- rendering (video monitor support, reference rollout_params
+    #    is_monitored / monitorpath, env_helpers.py:373-375) --------------
+
+    _renderer = None
+
+    def render_frame(self, width: int = 320, height: int = 240) -> np.ndarray:
+        if self._renderer is None:
+            os.environ.setdefault("MUJOCO_GL", "egl")  # headless rendering
+            self._renderer = mujoco.Renderer(self.model, height, width)
+        self._renderer.update_scene(self.data)
+        return self._renderer.render()

@@ -81,6 +81,107 @@ def estimate_policy_costs(policy: GaussianMLPPolicy,
     return np.asarray(costs)
 
 
+def record_episode_video(env: HostEnv,
+                         policy: GaussianMLPPolicy,
+                         policy_params: dict,
+                         path: str,
+                         max_timestep: int = 200,
+                         fps: int = 30) -> Optional[str]:
+    """Roll one deterministic episode and save an mp4 (the reference's gym
+    video monitor equivalent). Returns the path, or None if the env can't
+    render (pure-JAX envs)."""
+    if not hasattr(env, "render_frame"):
+        return None
+    import imageio
+    if path.endswith(".mp4"):
+        # no ffmpeg backend in this image — fall back to gif
+        path = path[: -len(".mp4")] + ".gif"
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    act = jax.jit(lambda p, o: policy.act(p, o, clip=True))
+    obs = env.reset()
+    frames = [env.render_frame()]
+    for _ in range(max_timestep):
+        a = np.asarray(act(policy_params, jnp.asarray(obs[None], jnp.float32)))[0]
+        obs, _, done, _ = env.step(a)
+        frames.append(env.render_frame())
+        if done:
+            break
+    imageio.mimsave(path, frames, fps=fps)
+    return path
+
+
+def get_error_distribution(env: HostEnv,
+                           policy: GaussianMLPPolicy,
+                           ensemble: DynamicsEnsemble,
+                           policy_params: dict,
+                           member_params: dict,
+                           input_stats: RunningStats,
+                           diff_stats: RunningStats,
+                           horizon: int = 100,
+                           sample_size: int = 50,
+                           log_dir: Optional[str] = None,
+                           count: int = 0,
+                           logger=None,
+                           is_plot: bool = False):
+    """Horizon-end model-vs-real error distributions
+    (reference env_helpers.py:175-269): roll the real env and the learned
+    model from the same initial states with the same policy; report the
+    total-cost difference and final-state L2 error, optionally as
+    histogram PNGs."""
+    act = jax.jit(lambda p, o: policy.act(p, o, clip=True))
+
+    real_costs, initial_states, real_finals = [], [], []
+    for _ in range(sample_size):
+        x = env.reset()
+        initial_states.append(x)
+        total = 0.0
+        for _t in range(horizon):
+            a = np.asarray(act(policy_params, jnp.asarray(x[None], jnp.float32)))[0]
+            x, r, done, _ = env.step(a)
+            total -= r
+            if done:
+                break
+        real_costs.append(total)
+        real_finals.append(x)
+    real_costs = np.asarray(real_costs)
+    real_finals = np.asarray(real_finals)
+
+    # model open-loop from the same initial states
+    o = jnp.asarray(np.asarray(initial_states), jnp.float32)
+    states = open_loop_rollout(policy, ensemble, policy_params, member_params,
+                               input_stats, diff_stats, o, horizon)
+    est_costs = np.zeros(sample_size)
+    for t in range(horizon):
+        x_t = np.asarray(states[t])
+        x_n = np.asarray(states[t + 1])
+        a = np.asarray(act(policy_params, jnp.asarray(x_t)))
+        est_costs += env.cost_np_vec(x_t, a, x_n)
+    final_est = np.asarray(states[-1])
+
+    e_cost = est_costs - real_costs
+    e_state = final_est - real_finals
+    loss = np.sum(np.square(e_state), axis=1)
+    if logger:
+        logger.info("### Real cost ### mean %.3f std %.3f median %.3f",
+                    real_costs.mean(), real_costs.std(), np.median(real_costs))
+        logger.info("### Total cost difference ### mean %.3f std %.3f",
+                    e_cost.mean(), e_cost.std())
+        logger.info("### Final state error ### mean %.3f median %.3f",
+                    loss.mean(), np.median(loss))
+    if is_plot and log_dir:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        os.makedirs(log_dir, exist_ok=True)
+        for data, name in ((e_cost, "cost_diff"), (loss, "state_diff")):
+            plt.figure()
+            plt.hist(data, bins=20)
+            plt.xlabel(name)
+            plt.savefig(os.path.join(log_dir, f"{name}_dist_{count}.png"))
+            plt.close()
+    return e_cost, e_state
+
+
 def evaluate_model_predictions(env: HostEnv,
                                env_pool: VecHostEnv,
                                policy: GaussianMLPPolicy,

@@ -53,7 +53,8 @@ def bptt_costs(policy: GaussianMLPPolicy,
                T: int,
                gamma: float,
                stochastic: float = 0.0,
-               key: Optional[jax.Array] = None) -> jnp.ndarray:
+               key: Optional[jax.Array] = None,
+               remat: bool = False) -> jnp.ndarray:
     """Per-member discounted rollout cost (K,), differentiable w.r.t.
     ``policy_params`` (and ``ens_params``).
 
@@ -83,8 +84,12 @@ def bptt_costs(policy: GaussianMLPPolicy,
             return (x_next, dones, acc, k), None
 
         init = (init_states, jnp.zeros((B,)), 0.0, key)
+        # remat: recompute per-step activations in the backward pass so the
+        # T-step unroll's memory is O(1) in T instead of O(T) — needed for
+        # T=200 x wide-ensemble BPTT (SURVEY.md §5.7 TPU-native equivalent).
+        step_fn = jax.checkpoint(step) if remat else step
         (x, dones, acc, _), _ = jax.lax.scan(
-            step, init, jnp.arange(T, dtype=jnp.float32)
+            step_fn, init, jnp.arange(T, dtype=jnp.float32)
         )
         return acc
 

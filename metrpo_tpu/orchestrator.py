@@ -278,6 +278,17 @@ class Trainer:
                       "AvgPolicyWeightDiff"):
                 self.tabular.record(k, 0)
 
+        # --- optional video monitor ---
+        if cfg.rollout_params.is_monitored and self.snapshot_dir:
+            from metrpo_tpu.evaluate import record_episode_video
+            vpath = os.path.join(self.snapshot_dir, "videos",
+                                 f"iter_{count}.mp4")
+            try:
+                record_episode_video(self.env, self.policy, self.policy_params,
+                                     vpath, cfg.rollout_params.max_timestep)
+            except Exception as e:  # rendering is best-effort
+                self.logger.warning("video recording failed: %s", e)
+
         # --- log + checkpoint ---
         self.tabular.record("real_current_validation_cost",
                             pol_logs["real_current_validation_cost"])
