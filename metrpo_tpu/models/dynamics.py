@@ -111,10 +111,12 @@ class DynamicsEnsemble(NamedTuple):
     # -- init --------------------------------------------------------------
 
     def init_member(self, key) -> dict:
-        p = {"net": mlp_init(key, self._sizes, self.dtype)}
+        # params are always fp32 masters; self.dtype is the COMPUTE dtype
+        # (mixed precision: bf16 matmuls, fp32 accumulation and updates)
+        p = {"net": mlp_init(key, self._sizes, jnp.float32)}
         if self.use_logit_weights:
             key_g = jax.random.fold_in(key, 1)
-            p["gate"] = mlp_init(key_g, self._gate_sizes, self.dtype)
+            p["gate"] = mlp_init(key_g, self._gate_sizes, jnp.float32)
         return p
 
     def init(self, key) -> dict:
@@ -143,12 +145,13 @@ class DynamicsEnsemble(NamedTuple):
             nn_in = xu_norm[..., 1:]
         else:
             nn_in = xu_norm
-        nn_in = nn_in.astype(self.dtype)
-
+        cdt = None if self.dtype == jnp.float32 else self.dtype
         gate = None
         if self.use_logit_weights:
-            gate = mlp_apply(params["gate"], nn_in, self.hidden_act, jax.nn.sigmoid)
-        out = mlp_apply(params["net"], nn_in, self.hidden_act, gate=gate)
+            gate = mlp_apply(params["gate"], nn_in, self.hidden_act,
+                             jax.nn.sigmoid, compute_dtype=cdt)
+        out = mlp_apply(params["net"], nn_in, self.hidden_act, gate=gate,
+                        compute_dtype=cdt)
         out = out.astype(jnp.float32)
 
         if "state_change" in self.prediction_type:

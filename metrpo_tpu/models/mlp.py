@@ -38,16 +38,25 @@ def mlp_init(key, sizes: Sequence[int], dtype=jnp.float32) -> dict:
 
 def mlp_apply(params: dict, x: jnp.ndarray,
               hidden_act: Callable, output_act: Callable = lambda x: x,
-              gate: jnp.ndarray | None = None) -> jnp.ndarray:
+              gate: jnp.ndarray | None = None,
+              compute_dtype=None) -> jnp.ndarray:
     """Forward pass. ``gate`` multiplies the last hidden activation
-    (the reference's sigmoid ``logit_weights`` hook, training.py:212-213)."""
+    (the reference's sigmoid ``logit_weights`` hook, training.py:212-213).
+
+    ``compute_dtype=bfloat16`` runs the matmuls in bf16 on the MXU with
+    fp32 accumulation — params stay fp32 (mixed precision), activations
+    are cast per layer."""
     n_layers = len(params["w"])
-    h = x
+    h = x if compute_dtype is None else x.astype(compute_dtype)
     for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
         pre = jnp.dot(h, w, preferred_element_type=jnp.float32) + b
         h = output_act(pre) if i == n_layers - 1 else hidden_act(pre)
         if gate is not None and i == n_layers - 2:
             h = h * gate
+        if compute_dtype is not None and i < n_layers - 1:
+            h = h.astype(compute_dtype)
     return h
 
 

@@ -237,6 +237,28 @@ def build_resident_rollout(spec: RolloutSpec, interpret: bool = False):
     )
 
 
+def rollout_to_imagined_batch(spec: RolloutSpec, policy_params: dict,
+                              outputs) -> "ImaginedBatch":
+    """Adapt kernel outputs (obs, actions, means, rewards — (T, B, pad))
+    to the framework's ImaginedBatch contract (B, T, .) for the TRPO/VPG
+    update programs."""
+    from metrpo_tpu.imagine import ImaginedBatch
+
+    obs, acts, means, rews = outputs
+    S, A = spec.n_states, spec.n_actions
+    tr = lambda x: jnp.swapaxes(x, 0, 1)
+    obs = tr(obs[:, :, :S])
+    acts = tr(acts[:, :, :A])
+    means = tr(means[:, :, :A])
+    rewards = tr(rews[:, :, 0])
+    B, T = rewards.shape
+    logstds = jnp.broadcast_to(policy_params["logstd"], (B, T, A))
+    return ImaginedBatch(
+        observations=obs, actions=acts, means=means, logstds=logstds,
+        rewards=rewards, valids=jnp.ones((B, T)),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Parameter packing from framework pytrees
 # ---------------------------------------------------------------------------

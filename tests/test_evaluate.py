@@ -1,0 +1,123 @@
+"""Eval/diagnostics suite tests + remaining env coverage."""
+
+import jax
+import numpy as np
+import pytest
+
+from metrpo_tpu.config import (DynamicsModelParams, PolicyModelParams)
+from metrpo_tpu.envs import get_env
+from metrpo_tpu.envs.base import VecHostEnv
+from metrpo_tpu.models.dynamics import DynamicsEnsemble
+from metrpo_tpu.models.policy import GaussianMLPPolicy
+from metrpo_tpu.utils.normalizer import running_stats_init, running_stats_update
+
+
+def _swimmer_setup(K=2):
+    np.random.seed(0)
+    env = get_env("swimmer")
+    pol = GaussianMLPPolicy.create(env.n_obs, env.n_actions, PolicyModelParams())
+    pp = pol.init(jax.random.PRNGKey(0))
+    ens = DynamicsEnsemble.create(env.n_states, env.n_actions, 0,
+                                  DynamicsModelParams(hidden_layers=(32,),
+                                                      nonlinearity=("relu",)), K)
+    ep = ens.init(jax.random.PRNGKey(1))
+    D = env.n_obs + env.n_actions
+    ins = running_stats_update(running_stats_init(D), np.random.randn(50, D))
+    dfs = running_stats_update(running_stats_init(env.n_obs),
+                               0.1 * np.random.randn(50, env.n_obs))
+    return env, pol, ens, pp, ep, ins, dfs
+
+
+def test_evaluate_model_predictions_csv(tmp_path):
+    from metrpo_tpu.evaluate import evaluate_model_predictions
+    env, pol, ens, pp, ep, ins, dfs = _swimmer_setup()
+    pool = VecHostEnv([get_env("swimmer") for _ in range(4)])
+    resets = np.asarray([env.get_reset_state() for _ in
+                         [env.reset() for _ in range(4)]])
+    m0 = jax.tree_util.tree_map(lambda l: l[0], ep)
+    errors = evaluate_model_predictions(
+        env, pool, pol, ens, pp, m0, ins, dfs, resets,
+        max_timestep=6, log_dir=str(tmp_path), count=1, timesteps=(1, 3, 5))
+    assert len(errors["l1_sum"]) == 3
+    assert (tmp_path / "state_diff_1.csv").exists()
+    # 1-step error should not exceed 5-step open-loop error on average
+    assert errors["l1_sum"][0] <= errors["l1_sum"][-1] * 2 + 1.0
+
+
+def test_fixed_init_oracle_consistency():
+    from metrpo_tpu.evaluate import evaluate_fixed_init_trajectories
+    env, pol, ens, pp, ep, ins, dfs = _swimmer_setup()
+    pool = VecHostEnv([get_env("swimmer") for _ in range(3)])
+    resets = np.asarray([env.get_reset_state() for _ in
+                         [env.reset() for _ in range(3)]])
+    # internal assert verifies cost ~= -reward (env_helpers.py:503)
+    cost = evaluate_fixed_init_trajectories(env, pool, pol, pp, resets,
+                                            max_timestep=5)
+    assert np.isfinite(cost)
+
+
+def test_humanoid_obs_dims():
+    env = get_env("humanoid")
+    obs = env.reset()
+    # qpos[3:](21) + qvel(23) + head_pos(3) on the standard humanoid model
+    assert obs.shape[0] == 21 + 23 + 3
+
+
+def test_bf16_dynamics_trains():
+    """The bfloat16 ensemble must fit a simple linear system."""
+    from metrpo_tpu.config import DynamicsOptParams
+    from metrpo_tpu.dynamics_trainer import DynamicsTrainer
+    from metrpo_tpu.utils.replay import ReplayDataset
+
+    np.random.seed(0)
+    S, A, K = 3, 2, 2
+    ens = DynamicsEnsemble.create(S, A, 0, DynamicsModelParams(
+        hidden_layers=(32,), nonlinearity=("relu",), dtype="bfloat16"), K)
+    M = np.random.randn(S + A, S).astype(np.float32) * 0.3
+    x = np.random.randn(2000, S + A).astype(np.float32)
+    y = x[:, :S] + x @ M
+    ins = running_stats_update(running_stats_init(S + A), x)
+    dfs = running_stats_update(running_stats_init(S), y - x[:, :S])
+    data, val = ReplayDataset(5000), ReplayDataset(5000)
+    data.set_data(x[:1600], y[:1600])
+    val.set_data(x[1600:], y[1600:])
+    trainer = DynamicsTrainer(ens, DynamicsOptParams(
+        batch_size=128, max_passes=30, num_passes_threshold=10, log_every=2))
+    params = trainer.init_params(jax.random.PRNGKey(0))
+    best, logs = trainer.fit(params, data, val, ins, dfs,
+                             jax.random.PRNGKey(1), reinitialize=True)
+    assert logs["validation_losses"][-1] < logs["initial_validation_losses"][0] * 0.5
+
+
+def test_pallas_batch_adapter():
+    from metrpo_tpu.ops.pallas.rollout import (RolloutSpec,
+                                               build_resident_rollout,
+                                               pack_inputs,
+                                               rollout_to_imagined_batch)
+    env, pol, ens_, pp, ep_, ins, dfs = _swimmer_setup()
+    S, A, H, K = 18, 6, 32, 2
+    pol18 = GaussianMLPPolicy.create(S, A, PolicyModelParams())
+    pp18 = pol18.init(jax.random.PRNGKey(0))
+    ens = DynamicsEnsemble.create(S, A, 0, DynamicsModelParams(
+        hidden_layers=(H, H), nonlinearity=("relu", "relu")), K)
+    ep = ens.init(jax.random.PRNGKey(1))
+    D = S + A
+    ins = running_stats_update(running_stats_init(D), np.random.randn(50, D))
+    dfs = running_stats_update(running_stats_init(S), 0.1 * np.random.randn(50, S))
+    spec = RolloutSpec(n_states=S, n_actions=A, hidden=H, n_models=K,
+                       block=8, T=3, pol_hidden=32, vel_idx=5,
+                       ctrl_coeff=0.005, reward_clip=0.0)
+    call = build_resident_rollout(spec, interpret=True)
+    packed = pack_inputs(spec, pp18, ep, ins, dfs,
+                         np.random.randn(spec.batch, S).astype(np.float32),
+                         0, jax.random.PRNGKey(2))
+    batch = rollout_to_imagined_batch(spec, pp18, call(*packed))
+    assert batch.observations.shape == (spec.batch, 3, S)
+    assert batch.actions.shape == (spec.batch, 3, A)
+    assert batch.valids.shape == (spec.batch, 3)
+    # feeds the TRPO update without error
+    from metrpo_tpu.algos.trpo import make_trpo_update
+    from metrpo_tpu.config import TrpoParams
+    update = make_trpo_update(pol18, TrpoParams(cg_iters=2))
+    new_params, stats = update(pp18, batch)
+    assert np.isfinite(float(stats.surrogate_before))
