@@ -104,6 +104,15 @@ class DynamicsTrainer:
         ens = self.ensemble
         K = ens.n_models
 
+        if len(data) == 0 or len(validation) == 0:
+            if logger:
+                logger.warning("no dynamics data yet; skipping model fit")
+            return params, {"training_losses": [], "validation_losses": [],
+                            "min_sum_validation_loss": float("inf"),
+                            "best_index": 0, "n_updates": 0,
+                            "initial_validation_losses": [],
+                            "final_validation_losses": []}
+
         if reinitialize:
             params = self.init_params(key)
             lr = self.lr_scratch

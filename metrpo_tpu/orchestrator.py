@@ -336,8 +336,8 @@ class Trainer:
 
     # ------------------------------------------------------------------
 
-    def state_dict(self) -> dict:
-        return {
+    def state_dict(self, include_replay: bool = True) -> dict:
+        state = {
             "count": self.count,
             "policy_params": self.policy_params,
             "ens_params": self.ens_params,
@@ -345,6 +345,16 @@ class Trainer:
             "diff_stats": self.diff_stats,
             "diff_weights": self.diff_weights,
         }
+        if include_replay:
+            # resumable runs need the replay contents too (the reference's
+            # ckpts lose them; rollout pickles were its workaround)
+            state["replay"] = {
+                scope: {"x": d.x, "y": d.y,
+                        "xv": self.dynamics_validation[scope].x,
+                        "yv": self.dynamics_validation[scope].y}
+                for scope, d in self.dynamics_data.items()
+            }
+        return state
 
     def load_state_dict(self, state: dict):
         self.count = state["count"]
@@ -354,3 +364,8 @@ class Trainer:
         self.input_stats = jax.tree_util.tree_map(jnp.asarray, state["input_stats"])
         self.diff_stats = jax.tree_util.tree_map(jnp.asarray, state["diff_stats"])
         self.diff_weights = state["diff_weights"]
+        for scope, blob in state.get("replay", {}).items():
+            if blob["x"] is not None:
+                self.dynamics_data[scope].set_data(blob["x"], blob["y"])
+            if blob["xv"] is not None:
+                self.dynamics_validation[scope].set_data(blob["xv"], blob["yv"])

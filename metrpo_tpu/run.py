@@ -43,6 +43,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-resume", action="store_true")
     p.add_argument("-yes", action="store_true",
                    help="skip interactive algo/env mismatch confirmation")
+    p.add_argument("-profile", type=str, default=None, metavar="DIR",
+                   help="capture a jax.profiler trace of the run into DIR")
     return p
 
 
@@ -81,10 +83,19 @@ def main(argv=None):
 
     from metrpo_tpu.train import train
     import dataclasses
-    for i in range(args.n):
-        seed_cfg = dataclasses.replace(cfg, seed=args.seed + i)
-        train(seed_cfg, snapshot_dir=args.snapshot_dir,
-              sweep_iters=args.sweeps, resume=args.resume)
+    import contextlib
+
+    if args.profile:
+        import jax
+        profile_cm = jax.profiler.trace(args.profile)
+    else:
+        profile_cm = contextlib.nullcontext()
+
+    with profile_cm:
+        for i in range(args.n):
+            seed_cfg = dataclasses.replace(cfg, seed=args.seed + i)
+            train(seed_cfg, snapshot_dir=args.snapshot_dir,
+                  sweep_iters=args.sweeps, resume=args.resume)
 
 
 if __name__ == "__main__":
