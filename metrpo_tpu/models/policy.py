@@ -72,10 +72,15 @@ class GaussianMLPPolicy(NamedTuple):
             mu = jnp.clip(mu, self.action_low, self.action_high)
         return mu
 
+    # rllab GaussianMLPPolicy min_std: the std never collapses below this
+    # no matter how many natural-gradient steps shrink it.
+    MIN_LOGSTD = -13.8  # log(1e-6)
+
     def dist(self, params: dict, obs: jnp.ndarray):
         """(mean, logstd broadcast to batch) — the policy distribution info."""
         mu = self.mean(params, obs)
-        logstd = jnp.broadcast_to(params["logstd"], mu.shape)
+        logstd = jnp.broadcast_to(
+            jnp.maximum(params["logstd"], self.MIN_LOGSTD), mu.shape)
         return mu, logstd
 
     def log_prob(self, params: dict, obs: jnp.ndarray, actions: jnp.ndarray):

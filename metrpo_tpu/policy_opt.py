@@ -119,8 +119,12 @@ class PolicyOptimizer:
         cwd_fn = env.cost_with_dones if env.has_analytic_done else None
         self.cost_fn, self.is_done_fn, self.cwd_fn = cost_fn, is_done_fn, cwd_fn
 
-        if algo_name == "trpo":
-            self._trpo_update = make_trpo_update(policy, pop.trpo)
+        if algo_name in ("trpo", "npg"):
+            if algo_name == "npg":
+                from metrpo_tpu.algos.npg import make_npg_update
+                self._trpo_update = make_npg_update(policy, pop.trpo)
+            else:
+                self._trpo_update = make_trpo_update(policy, pop.trpo)
             self.n_particles = max(pop.trpo.batch_size // pop.T, 1)
             self.init_std = pop.trpo.init_std
             self.reset_std = pop.trpo.reset
@@ -179,7 +183,7 @@ class PolicyOptimizer:
                         input_stats, diff_stats, key):
         pop = self.pop
         inits = jnp.asarray(self.sample_init_states(self.n_particles), jnp.float32)
-        if self.algo_name == "trpo":
+        if self.algo_name in ("trpo", "npg"):
             k1, k2 = jax.random.split(key)
             batch = self._rollout(policy_params, ens_params, input_stats,
                                   diff_stats, inits, T=pop.T, key=k1,

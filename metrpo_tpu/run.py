@@ -23,7 +23,8 @@ import sys
 from metrpo_tpu.config import (default_params_path, load_config,
                                update_dictionary)
 
-ALGOS = ("trpo", "vpg", "bptt", "bptt-stochastic", "svg", "l-bfgs", "ppo")
+ALGOS = ("trpo", "vpg", "bptt", "bptt-stochastic", "svg", "l-bfgs", "ppo",
+         "npg")
 
 
 def build_parser() -> argparse.ArgumentParser:

@@ -1,0 +1,49 @@
+"""Tabular logger + collect-invariant tests."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from metrpo_tpu.utils.tabular import TabularLogger
+
+
+def test_tabular_header_evolves(tmp_path):
+    path = str(tmp_path / "progress.csv")
+    t = TabularLogger(path)
+    t.record("a", 1)
+    t.dump()
+    t.record("a", 2)
+    t.record("b", 3.5)  # new column appears later
+    t.dump()
+    rows = list(csv.DictReader(open(path)))
+    assert rows[0]["a"] == "1" and rows[0]["b"] == ""
+    assert rows[1]["a"] == "2" and rows[1]["b"] == "3.5"
+
+
+def test_collect_checks_ant_done_invariant():
+    """The collector must assert done == analytic is_done per step
+    (env_helpers.py:410-411) — drive it on ant where done can fire."""
+    mujoco = pytest.importorskip("mujoco")
+    import jax
+    from metrpo_tpu.collect import collect_real_rollouts
+    from metrpo_tpu.config import ExplorationParams, PolicyModelParams
+    from metrpo_tpu.envs import get_env
+    from metrpo_tpu.envs.base import VecHostEnv
+    from metrpo_tpu.models.policy import GaussianMLPPolicy
+
+    np.random.seed(0)
+    env = get_env("ant")
+    pool = VecHostEnv([get_env("ant") for _ in range(3)])
+    pol = GaussianMLPPolicy.create(env.n_obs, env.n_actions, PolicyModelParams())
+    pp = pol.init(jax.random.PRNGKey(0))
+    Os, As, Rs, info = collect_real_rollouts(
+        env, pool, pol, pp, None,
+        ExplorationParams(action_noise=1.0), sample_size=60, max_timestep=25,
+        key=jax.random.PRNGKey(1), check_invariants=True)
+    assert info.timesteps >= 60
+    # ant episodes may terminate early: every episode obs array is one
+    # longer than its action array
+    for o, a in zip(Os, As):
+        assert len(o) == len(a) + 1
