@@ -33,6 +33,15 @@ from metrpo_tpu.utils.replay import ReplayDataset
 from metrpo_tpu.utils.tree import tree_flatten_vector, tree_unflatten_vector
 
 
+def make_act_batch_fn(policy: GaussianMLPPolicy):
+    """Jitted per-episode-params batched policy mean (build once and reuse
+    — a fresh jit per collect call recompiles every sweep)."""
+    @jax.jit
+    def act_batch(param_stack, obs):
+        return jax.vmap(lambda p, o: policy.mean(p, o))(param_stack, obs)
+    return act_batch
+
+
 class CollectInfo(NamedTuple):
     episodes: int
     timesteps: int
@@ -76,16 +85,15 @@ def collect_real_rollouts(env: HostEnv,
                           max_timestep: int,
                           key,
                           logger=None,
-                          check_invariants: bool = True):
+                          check_invariants: bool = True,
+                          act_batch_fn=None):
     """Collect >= sample_size real transitions. Returns (Os, As, Rs, info):
     lists of per-episode arrays (obs has len T+1)."""
     if diff_weights is None:
         assert exploration.initial_param_std == 0.0
 
-    @jax.jit
-    def act_batch(param_stack, obs):
-        # per-episode params: vmap over both the param stack and the obs rows
-        return jax.vmap(lambda p, o: policy.mean(p, o))(param_stack, obs)
+    act_batch = act_batch_fn if act_batch_fn is not None \
+        else make_act_batch_fn(policy)
 
     Os, As, Rs = [], [], []
     total = 0

@@ -27,6 +27,14 @@ from metrpo_tpu.models.policy import GaussianMLPPolicy
 from metrpo_tpu.utils.normalizer import RunningStats
 
 
+def make_act_fn(policy: GaussianMLPPolicy):
+    """One jitted deterministic-act function to share across all host-side
+    eval/collect loops.  (Constructing jax.jit(lambda...) inside each call
+    would recompile on EVERY invocation — the jit cache is keyed by
+    function identity.)"""
+    return jax.jit(lambda p, o: policy.act(p, o, clip=True))
+
+
 def evaluate_fixed_init_trajectories(env: HostEnv,
                                      env_pool: VecHostEnv,
                                      policy: GaussianMLPPolicy,
@@ -34,7 +42,8 @@ def evaluate_fixed_init_trajectories(env: HostEnv,
                                      reset_initial_states: np.ndarray,
                                      max_timestep: int,
                                      gamma: float = 1.0,
-                                     check_invariants: bool = True) -> float:
+                                     check_invariants: bool = True,
+                                     act_fn=None) -> float:
     """Deterministic real-env rollout cost from fixed reset states
     (reference env_helpers.py:476-504). Asserts cost ~= -reward."""
     n = len(reset_initial_states)
@@ -44,7 +53,7 @@ def evaluate_fixed_init_trajectories(env: HostEnv,
     dones = np.zeros(n, dtype=bool)
     cost, reward = 0.0, 0.0
 
-    act = jax.jit(lambda p, o: policy.act(p, o, clip=True))
+    act = act_fn if act_fn is not None else make_act_fn(policy)
     for t in range(max_timestep):
         actions = np.asarray(act(policy_params, jnp.asarray(observations, jnp.float32)))
         next_obs, _rewards, _dones, _ = pool.step_batch(actions)

@@ -190,11 +190,15 @@ class Trainer:
             return float(self._device_oracle(
                 policy_params,
                 jnp.asarray(self.policy_validation_reset_init, jnp.float32)))
+        if not hasattr(self, "_act_fn"):
+            from metrpo_tpu.evaluate import make_act_fn
+            self._act_fn = make_act_fn(self.policy)
         return evaluate_fixed_init_trajectories(
             self.env, self.oracle_pool, self.policy, policy_params,
             self.policy_validation_reset_init,
             max_timestep=self.cfg.policy_opt_params.oracle_maxtimestep,
-            gamma=self.cfg.policy_opt_params.gamma)
+            gamma=self.cfg.policy_opt_params.gamma,
+            act_fn=self._act_fn)
 
     # ------------------------------------------------------------------
 
@@ -219,11 +223,15 @@ class Trainer:
                     cfg.sample_size, cfg.rollout_params.max_timestep,
                     self.keys.next(), collector=self._device_collector)
             else:
+                if not hasattr(self, "_act_batch_fn"):
+                    from metrpo_tpu.collect import make_act_batch_fn
+                    self._act_batch_fn = make_act_batch_fn(self.policy)
                 Os, As, Rs, cinfo = collect_real_rollouts(
                     self.env, self.collect_pool, self.policy, self.policy_params,
                     self.diff_weights, cfg.rollout_params.exploration,
                     cfg.sample_size, cfg.rollout_params.max_timestep,
-                    self.keys.next(), logger=self.logger)
+                    self.keys.next(), logger=self.logger,
+                    act_batch_fn=self._act_batch_fn)
             rollout_data, self.input_stats, self.diff_stats = split_and_store(
                 Os, As, cfg.rollout_params, self.dynamics_data,
                 self.dynamics_validation, self.input_stats, self.diff_stats,

@@ -177,6 +177,14 @@ class PolicyOptimizer:
             rollout_trajectories, policy, ensemble, cost_fn, is_done_fn),
             static_argnames=("T", "sam_mode", "deterministic"))
 
+        # jitted per-member estimated-cost evaluator (built ONCE: a fresh
+        # jit per call would recompile the T-step program every eval)
+        from metrpo_tpu.imagine import bptt_costs
+        self._est_costs = jax.jit(
+            lambda pp, ep, ins, dfs, vi: bptt_costs(
+                policy, ensemble, cost_fn, is_done_fn, cwd_fn, pp, ep,
+                ins, dfs, vi, pop.T, pop.gamma, stochastic=0.0))
+
     # -- single algo iteration --------------------------------------------
 
     def _algo_iteration(self, policy_params, opt_state, ens_params,
@@ -252,10 +260,9 @@ class PolicyOptimizer:
 
         def estimated_costs(params):
             return {
-                scope: estimate_policy_costs(
-                    self.policy, self.ensemble, self.cost_fn, self.is_done_fn,
-                    self.cwd_fn, params, scope_ens_params[scope],
-                    input_stats, diff_stats, v_inits, pop.T, pop.gamma)
+                scope: np.asarray(self._est_costs(
+                    params, scope_ens_params[scope], input_stats,
+                    diff_stats, v_inits))
                 for scope in scope_ens_params
             }
 
