@@ -168,6 +168,8 @@ class PolicyOptParams:
     batch_size: int = 500    # number of imagined particles / validation inits
     sam_mode: str = "step_rand"
     remat: bool = False      # jax.checkpoint the BPTT rollout step (O(1)-in-T memory)
+    use_pallas_rollout: bool = False  # VMEM-resident-weights rollout kernel
+    #   (velocity-cost envs with 2-hidden-layer nets only)
 
 
 @dataclass(frozen=True)
@@ -366,6 +368,7 @@ def config_from_dict(raw: dict) -> ExperimentConfig:
         batch_size=pop_raw.get("batch_size", 500),
         sam_mode=pop_raw.get("sam_mode", "step_rand"),
         remat=bool(pop_raw.get("remat", False)),
+        use_pallas_rollout=bool(pop_raw.get("use_pallas_rollout", False)),
     )
 
     rp_raw = raw.get("rollout_params", {})

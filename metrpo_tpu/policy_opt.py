@@ -177,6 +177,29 @@ class PolicyOptimizer:
             rollout_trajectories, policy, ensemble, cost_fn, is_done_fn),
             static_argnames=("T", "sam_mode", "deterministic"))
 
+        # optional pallas resident-weights sampler (velocity-cost envs,
+        # 2-hidden-layer policy/dynamics nets)
+        self._pallas = None
+        if pop.use_pallas_rollout and hasattr(env, "velocity_cost_spec") \
+                and len(policy.hidden_layers) == 2 \
+                and len(ensemble.hidden_layers) == 2 \
+                and ensemble.hidden_layers[0] == ensemble.hidden_layers[1] \
+                and policy.hidden_layers[0] == policy.hidden_layers[1] \
+                and algo_name in ("trpo", "npg", "vpg"):
+            from metrpo_tpu.ops.pallas.rollout import (RolloutSpec,
+                                                       build_resident_rollout)
+            vel_idx, ctrl_coeff, reward_clip = env.velocity_cost_spec
+            block = max((self.n_particles // ensemble.n_models) // 8 * 8, 8)
+            self._pallas_spec = RolloutSpec(
+                n_states=env.n_obs, n_actions=env.n_actions,
+                hidden=ensemble.hidden_layers[0],
+                n_models=ensemble.n_models, block=block, T=pop.T,
+                pol_hidden=policy.hidden_layers[0], vel_idx=vel_idx,
+                ctrl_coeff=ctrl_coeff, reward_clip=reward_clip)
+            self._pallas = build_resident_rollout(self._pallas_spec)
+            self.n_particles = self._pallas_spec.batch
+            self._pallas_seed = 0
+
         # jitted per-member estimated-cost evaluator (built ONCE: a fresh
         # jit per call would recompile the T-step program every eval)
         from metrpo_tpu.imagine import bptt_costs
@@ -191,18 +214,29 @@ class PolicyOptimizer:
                         input_stats, diff_stats, key):
         pop = self.pop
         inits = jnp.asarray(self.sample_init_states(self.n_particles), jnp.float32)
+
+        def sample_batch(k):
+            if self._pallas is not None:
+                from metrpo_tpu.ops.pallas.rollout import (
+                    pack_inputs, rollout_to_imagined_batch)
+                self._pallas_seed += 1
+                packed = pack_inputs(self._pallas_spec, policy_params,
+                                     ens_params, input_stats, diff_stats,
+                                     inits, self._pallas_seed, k)
+                return rollout_to_imagined_batch(
+                    self._pallas_spec, policy_params, self._pallas(*packed))
+            return self._rollout(policy_params, ens_params, input_stats,
+                                 diff_stats, inits, T=pop.T, key=k,
+                                 sam_mode=pop.sam_mode)
+
         if self.algo_name in ("trpo", "npg"):
             k1, k2 = jax.random.split(key)
-            batch = self._rollout(policy_params, ens_params, input_stats,
-                                  diff_stats, inits, T=pop.T, key=k1,
-                                  sam_mode=pop.sam_mode)
+            batch = sample_batch(k1)
             policy_params, stats = self._trpo_update(policy_params, batch)
             return policy_params, opt_state, 0.0
         if self.algo_name == "vpg":
             k1, k2 = jax.random.split(key)
-            batch = self._rollout(policy_params, ens_params, input_stats,
-                                  diff_stats, inits, T=pop.T, key=k1,
-                                  sam_mode=pop.sam_mode)
+            batch = sample_batch(k1)
             policy_params, opt_state, stats = self._vpg_update(
                 policy_params, opt_state, batch)
             return policy_params, opt_state, 0.0
