@@ -181,6 +181,9 @@ class PolicyOptimizer:
         # 2-hidden-layer policy/dynamics nets)
         self._pallas = None
         if pop.use_pallas_rollout and hasattr(env, "velocity_cost_spec") \
+                and env.n_goals == 0 \
+                and ensemble.prediction_type == "state_change" \
+                and not ensemble.use_logit_weights \
                 and len(policy.hidden_layers) == 2 \
                 and len(ensemble.hidden_layers) == 2 \
                 and ensemble.hidden_layers[0] == ensemble.hidden_layers[1] \
