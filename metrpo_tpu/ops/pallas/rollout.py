@@ -76,9 +76,12 @@ def _hash_bits(shape, seed, salt):
     a zero-stub in interpret mode, so we avoid it)."""
     r = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
     c = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    # int32 -> uint32 reinterpret (Mosaic has no int->uint convert rule)
+    seed_u = pltpu.bitcast(jnp.broadcast_to(seed, (1, 1)), jnp.uint32)[0, 0]
+    salt_u = pltpu.bitcast(jnp.broadcast_to(salt, (1, 1)), jnp.uint32)[0, 0]
     h = (r * jnp.uint32(0x9E3779B9) + c * jnp.uint32(0x85EBCA6B)
-         + seed.astype(jnp.uint32) * jnp.uint32(0xC2B2AE35)
-         + salt.astype(jnp.uint32) * jnp.uint32(0x27D4EB2F))
+         + seed_u * jnp.uint32(0xC2B2AE35)
+         + salt_u * jnp.uint32(0x27D4EB2F))
     h = h ^ (h >> 16)
     h = h * jnp.uint32(0x85EBCA6B)
     h = h ^ (h >> 13)
@@ -88,7 +91,12 @@ def _hash_bits(shape, seed, salt):
 
 
 def _uniform_from_bits(bits):
-    return (bits >> 8).astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-7
+    """(0, 1] floats without an integer->float convert (unsupported in
+    Mosaic): keep 23 random mantissa bits, OR in the exponent of 1.0,
+    bitcast to float32 in [1, 2), and map to (0, 1]."""
+    mantissa = bits >> 9
+    f = pltpu.bitcast(mantissa | jnp.uint32(0x3F800000), jnp.float32)
+    return 2.0 - f  # (0, 1]
 
 
 def _gaussian(shape, seed, salt):
@@ -182,21 +190,45 @@ def _rollout_kernel(spec: RolloutSpec,
             r = jnp.clip(r, -spec.reward_clip, spec.reward_clip)
 
         # ---- stage outputs and DMA the time-slice to HBM ----
-        out_scratch[0, :, :] = x
-        out_scratch[1, :, : spec.a_pad] = a
-        out_scratch[2, :, : spec.a_pad] = mean_masked
-        out_scratch[3, :, :] = jnp.broadcast_to(r, (B, out_scratch.shape[2]))
+        # double-buffered: slot t%2 is written and its DMA started; the
+        # wait happens one iteration later, so the copies overlap the next
+        # step's compute instead of serializing against it.
+        slot = jax.lax.rem(t, 2)
+
+        def _wait_prev():
+            for i, dst in enumerate((obs_hbm, act_hbm, mean_hbm, rew_hbm)):
+                pltpu.make_async_copy(
+                    out_scratch.at[slot, i, :, : dst.shape[2]],
+                    dst.at[t - 2], sem.at[slot, i]).wait()
+
+        @pl.when(t >= 2)
+        def _():
+            _wait_prev()
+
+        out_scratch[slot, 0, :, :] = x
+        out_scratch[slot, 1, :, : spec.a_pad] = a
+        out_scratch[slot, 2, :, : spec.a_pad] = mean_masked
+        out_scratch[slot, 3, :, :] = jnp.broadcast_to(
+            r, (B, out_scratch.shape[3]))
 
         for i, dst in enumerate((obs_hbm, act_hbm, mean_hbm, rew_hbm)):
-            cp = pltpu.make_async_copy(
-                out_scratch.at[i, :, : dst.shape[2]], dst.at[t], sem.at[i])
-            cp.start()
-            cp.wait()
+            pltpu.make_async_copy(
+                out_scratch.at[slot, i, :, : dst.shape[2]], dst.at[t],
+                sem.at[slot, i]).start()
 
         x_ref[:] = x_next
         return 0
 
     jax.lax.fori_loop(0, T, step, 0)
+
+    # drain the last two slots' DMAs
+    for last_t in (T - 2, T - 1):
+        if last_t >= 0:
+            slot = last_t % 2
+            for i, dst in enumerate((obs_hbm, act_hbm, mean_hbm, rew_hbm)):
+                pltpu.make_async_copy(
+                    out_scratch.at[slot, i, :, : dst.shape[2]], dst.at[last_t],
+                    sem.at[slot, i]).wait()
 
 
 def build_resident_rollout(spec: RolloutSpec, interpret: bool = False):
@@ -213,8 +245,8 @@ def build_resident_rollout(spec: RolloutSpec, interpret: bool = False):
         scratch_shapes=[
             pltpu.VMEM((B, spec.s_pad), jnp.float32),
             pltpu.VMEM((B, spec.s_pad), jnp.float32),
-            pltpu.VMEM((4, B, LANE), jnp.float32),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, 4, B, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, 4)),
         ],
     )
 
@@ -232,7 +264,12 @@ def build_resident_rollout(spec: RolloutSpec, interpret: bool = False):
         functools.partial(_rollout_kernel, spec),
         grid_spec=grid_spec,
         out_shape=out_shapes,
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        compiler_params=pltpu.CompilerParams(
+            has_side_effects=True,
+            # resident weights intentionally fill VMEM past the default
+            # 16MB scoped limit; v5e has headroom above it
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interp,
     )
 
