@@ -56,6 +56,41 @@ class DynamicsTrainer:
             params = optax.apply_updates(params, updates)
             return params, opt_state, loss
 
+        @functools.partial(jax.jit, static_argnames=("n_steps", "batch_size"))
+        def train_chunk(params, opt_state, data_x, data_y, key,
+                        input_stats, diff_stats, n_steps: int,
+                        batch_size: int):
+            """n_steps uniform-resample Adam steps in ONE device program:
+            the replay snapshot lives on device and minibatch indices are
+            drawn there, so the host crosses the tunnel once per chunk
+            instead of once per step (the reference paid one sess.run per
+            step, model_based_rl.py:958-970)."""
+            n_data = data_x.shape[0]
+            K = ens.n_models
+
+            def body(carry, k):
+                params, opt_state = carry
+                idx = jax.random.randint(k, (K, batch_size), 0, n_data)
+                xb = data_x[idx]
+                yb = data_y[idx]
+
+                def total_loss(p):
+                    pred = ens.prediction_losses(p, xb, yb, input_stats,
+                                                 diff_stats)
+                    return jnp.sum(pred) + jnp.sum(ens.regularizer_losses(p))
+
+                loss, grads = jax.value_and_grad(total_loss)(params)
+                updates, opt_state = self.opt.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state), loss
+
+            keys = jax.random.split(key, n_steps)
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), keys)
+            return params, opt_state, losses[-1]
+
+        self._train_chunk = train_chunk
+
         @jax.jit
         def val_losses(params, x_val, y_val, input_stats, diff_stats):
             """Per-member loss, every member on the SAME validation set:
@@ -139,21 +174,40 @@ class DynamicsTrainer:
         log_every = max(int(cfg.log_every * iter_const), 1)
         patience = int(cfg.num_passes_threshold * iter_const)
 
+        # On-device chunked training for 'random' sampling: the replay
+        # snapshot is uploaded once and log_every-ish steps run per device
+        # call. Chunk size is quantized to a power of two so the jitted
+        # chunk recompiles only O(log) times as the dataset grows.
+        use_chunks = cfg.sample_mode == "random"
+        if use_chunks:
+            chunk = 1 << max(int(np.log2(max(log_every, 1)) + 0.5), 0)
+            chunk = max(min(chunk, 2048), 1)
+            data_x = jnp.asarray(data.x, jnp.float32)
+            data_y = jnp.asarray(data.y, jnp.float32)
+
         recover_indices = np.zeros(K)
         refine_idx = -1
         training_losses, validation_losses = [], []
         j = 0
-        for j in range(1, max_iters + 1):
-            if cfg.sample_mode == "next_batch":
-                xb, yb = data.get_next_batch(batch_size * K)
+        step_iter = 0
+        while step_iter < max_iters:
+            if use_chunks:
+                key, k_chunk = jax.random.split(key)
+                params, opt_state, train_loss = self._train_chunk(
+                    params, opt_state, data_x, data_y, k_chunk,
+                    input_stats, diff_stats, n_steps=chunk,
+                    batch_size=batch_size)
+                step_iter += chunk
             else:
-                xb, yb = data.sample(batch_size * K)
-            xb = jnp.asarray(xb, jnp.float32).reshape(K, batch_size, -1)
-            yb = jnp.asarray(yb, jnp.float32).reshape(K, batch_size, -1)
-            params, opt_state, train_loss = self._train_step(
-                params, opt_state, xb, yb, input_stats, diff_stats)
+                xb, yb = data.get_next_batch(batch_size * K)
+                xb = jnp.asarray(xb, jnp.float32).reshape(K, batch_size, -1)
+                yb = jnp.asarray(yb, jnp.float32).reshape(K, batch_size, -1)
+                params, opt_state, train_loss = self._train_step(
+                    params, opt_state, xb, yb, input_stats, diff_stats)
+                step_iter += 1
+            j = step_iter
 
-            if j % log_every == 0:
+            if use_chunks or j % log_every == 0:
                 losses = self._val_losses(params, x_val, y_val, input_stats, diff_stats)
                 best_params, best_losses, improved = self._select_best(
                     best_params, params, best_losses, losses)
