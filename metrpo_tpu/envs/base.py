@@ -145,13 +145,38 @@ class JaxEnv(AnalyticEnv):
 
 
 class VecHostEnv:
-    """Batch of host envs stepped together (reference env_helpers.py:456-472)."""
+    """Batch of host envs stepped together (reference env_helpers.py:456-472).
 
-    def __init__(self, envs):
+    For MuJoCo env pools the physics segment of ``step_batch`` runs through
+    the native C++ thread-pool stepper (``metrpo_tpu/native``) — the
+    in-process replacement for the reference's fork-based
+    ``ParallelVecEnvExecutor`` (envs/parallel_vec_env_executor.py:78-176):
+    all B envs' ``mj_step`` loops execute in parallel with the GIL released,
+    then each env's ``post_step`` (observation/reward/done) runs in python.
+    Falls back to the serial per-env ``step`` loop when the native library
+    is unavailable (``METRPO_NATIVE=0``, no compiler, non-MuJoCo envs);
+    both paths produce bitwise-identical transitions.
+    """
+
+    def __init__(self, envs, native: bool = True):
         self.envs = list(envs)
+        self._native = None
+        if native and self.envs and all(
+                hasattr(e, "model") and hasattr(e, "data") and
+                callable(getattr(e, "post_step", None)) for e in self.envs):
+            try:
+                from metrpo_tpu.native import NativeStepper, native_available
+                if native_available():
+                    self._native = NativeStepper(self.envs)
+            except Exception:  # noqa: BLE001 — any failure => serial path
+                self._native = None
 
     def __len__(self):
         return len(self.envs)
+
+    @property
+    def native_active(self) -> bool:
+        return self._native is not None
 
     def reset_to_batch(self, reset_states: np.ndarray) -> np.ndarray:
         return np.array([e.reset_to(x) for e, x in zip(self.envs, reset_states)])
@@ -160,6 +185,13 @@ class VecHostEnv:
         return np.array([e.reset() for e in self.envs])
 
     def step_batch(self, actions: np.ndarray):
-        results = [e.step(a) for e, a in zip(self.envs, actions)]
+        actions = np.asarray(actions)
+        if self._native is not None:
+            for e, a in zip(self.envs, actions):
+                e.pre_step(a)
+            self._native.step_batch(actions)
+            results = [e.post_step(a) for e, a in zip(self.envs, actions)]
+        else:
+            results = [e.step(a) for e, a in zip(self.envs, actions)]
         obs, rs, ds, infos = zip(*results)
         return np.array(obs), np.array(rs), np.array(ds), infos

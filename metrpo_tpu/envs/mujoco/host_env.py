@@ -122,6 +122,22 @@ class MujocoHostEnv(HostEnv):
         return self.get_current_obs()
 
     def step(self, action: np.ndarray):
+        """One env step = pre_step hook -> physics -> post_step.
+
+        The physics segment (``forward_dynamics``) is exactly what the
+        native batched stepper (``metrpo_tpu/native``) runs in C++ across a
+        VecHostEnv pool; pre/post hooks hold the env-specific observation /
+        reward / termination logic and stay in python either way.
+        """
+        self.pre_step(action)
+        self.forward_dynamics(action)
+        return self.post_step(action)
+
+    def pre_step(self, action: np.ndarray) -> None:
+        """Hook before physics (e.g. capture the pre-step observation)."""
+
+    def post_step(self, action: np.ndarray):
+        """(obs, reward, done, info) from the post-physics MjData state."""
         raise NotImplementedError
 
     # -- rendering (video monitor support, reference rollout_params

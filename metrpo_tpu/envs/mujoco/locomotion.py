@@ -39,8 +39,7 @@ class SwimmerEnv(MujocoHostEnv):
             self.body_comvel()[:2], qvel[2:5],
         ])
 
-    def step(self, action):
-        self.forward_dynamics(action)
+    def post_step(self, action):
         obs = self.get_current_obs()
         ctrl_cost = 0.5 * self.ctrl_cost_coeff * np.sum(
             np.square(np.clip(action, -1, 1)))
@@ -77,8 +76,7 @@ class SnakeEnv(MujocoHostEnv):
             self.body_comvel()[:2], qvel[2:],
         ])
 
-    def step(self, action):
-        self.forward_dynamics(action)
+    def post_step(self, action):
         obs = self.get_current_obs()
         ctrl_cost = 0.5 * self.ctrl_cost_coeff * np.sum(
             np.square(np.clip(action, -1, 1)))
@@ -110,8 +108,7 @@ class HalfCheetahEnv(MujocoHostEnv):
             self.body_comvel()[[0, 2]], qvel[2:],
         ])
 
-    def step(self, action):
-        self.forward_dynamics(action)
+    def post_step(self, action):
         obs = self.get_current_obs()
         action = np.clip(action, -1, 1)
         ctrl_cost = self.ctrl_cost_coeff * 0.5 * np.sum(np.square(action))
@@ -144,8 +141,7 @@ class HopperEnv(MujocoHostEnv):
             self.body_comvel()[[0, 2]], qvel[2:],
         ])
 
-    def step(self, action):
-        self.forward_dynamics(action)
+    def post_step(self, action):
         obs = self.get_current_obs()
         action = np.clip(action, -1, 1)
         vel, height, ang = obs[5], obs[0], obs[1]
@@ -186,8 +182,7 @@ class AntEnv(MujocoHostEnv):
             self.body_comvel(), qvel[3:],
         ])
 
-    def step(self, action):
-        self.forward_dynamics(action)
+    def post_step(self, action):
         com = self.body_com()
         comvel = self.body_comvel()
         action = np.clip(action, -1, 1)

@@ -46,8 +46,7 @@ class SimpleHumanoidEnv(MujocoHostEnv):
             self.data.qpos[3:], self.data.qvel, self._head_pos(),
         ])
 
-    def step(self, action):
-        self.forward_dynamics(action)
+    def post_step(self, action):
         obs = self.get_current_obs()
         action = np.clip(action, -1, 1)
         head_h = self._head_pos()[-1]
@@ -102,12 +101,16 @@ class ReacherEnv(MujocoHostEnv):
         mujoco.mj_forward(self.model, self.data)
         return self.get_current_obs()
 
-    def step(self, action):
+    def pre_step(self, action):
+        # reward needs the PRE-step observation (goal-relative fingertip
+        # cost is a function of the state the action was taken in)
+        self._obs_before = self.get_current_obs()
+
+    def post_step(self, action):
         action = np.clip(np.reshape(action, -1), -1, 1)
-        obs = self.get_current_obs()
-        self.forward_dynamics(action)
         obs_next = self.get_current_obs()
-        reward = -float(self.cost_np_vec(obs[None], action[None], obs_next[None])[0])
+        reward = -float(self.cost_np_vec(
+            self._obs_before[None], action[None], obs_next[None])[0])
         return obs_next, reward, False, {}
 
     @staticmethod
@@ -138,8 +141,7 @@ class Walker2dEnv(MujocoHostEnv):
             self.body_comvel()[[0, 2]], qvel[2:],
         ])
 
-    def step(self, action):
-        self.forward_dynamics(action)
+    def post_step(self, action):
         obs = self.get_current_obs()
         action = np.clip(action, -1, 1)
         ctrl_cost = self.ctrl_cost_coeff * 0.5 * np.sum(np.square(action))
