@@ -233,6 +233,9 @@ class ExperimentConfig:
     sample_size: int = 3000
     sweep_iters: int = 100
     seed: int = 0
+    # TF_SUMMARY gate (reference model_based_rl.py:21): when on, weight/
+    # gradient/loss-distribution summaries stream to tf_logs/{train,val}.
+    tf_summary: bool = False
     policy: PolicyModelParams = field(default_factory=PolicyModelParams)
     dynamics_model: DynamicsModelParams = field(default_factory=DynamicsModelParams)
     dynamics_opt_params: DynamicsOptParams = field(default_factory=DynamicsOptParams)
@@ -400,6 +403,7 @@ def config_from_dict(raw: dict) -> ExperimentConfig:
         sample_size=raw.get("sample_size", 3000),
         sweep_iters=raw.get("sweep_iters", 100),
         seed=raw.get("seed", 0),
+        tf_summary=bool(raw.get("tf_summary", False)),
         policy=pol,
         dynamics_model=dyn,
         dynamics_opt_params=dop,

@@ -55,6 +55,12 @@ class Trainer:
         self.logger = get_logger("metrpo", snapshot_dir)
         self.tabular = TabularLogger(
             os.path.join(snapshot_dir, "progress.csv") if snapshot_dir else None)
+        # TF_SUMMARY-gated summary writers (model_based_rl.py:21, :339-340)
+        if cfg.tf_summary:
+            from metrpo_tpu.utils.summaries import make_writers
+            self.summary_train, self.summary_val = make_writers(snapshot_dir)
+        else:
+            self.summary_train = self.summary_val = None
 
         pop = cfg.policy_opt_params
         rp = cfg.rollout_params
@@ -264,6 +270,16 @@ class Trainer:
             self.tabular.record(f"{scope}_min_sum_validation_loss",
                                 logs["min_sum_validation_loss"])
             self.tabular.record("# model updates", logs["n_updates"])
+            if self.summary_val is not None:
+                # ensemble loss distribution (model_based_rl.py:77-79)
+                self.summary_val.histogram(
+                    f"{scope}/validation_losses",
+                    logs["final_validation_losses"], count)
+        if self.summary_train is not None:
+            # per-layer weight histograms (training.py:195-205)
+            for scope in self.scopes:
+                self.summary_train.tree(f"{scope}/weights",
+                                        self.ens_params[scope], count)
         self.tabular.record("model_opt_time", timer.lap())
 
         # --- optimize policy ---
@@ -272,6 +288,19 @@ class Trainer:
             self.policy_params, self.ens_params, self.input_stats,
             self.diff_stats, self.policy_validation_init, self.keys.next())
         new_flat = np.asarray(tree_flatten_vector(self.policy_params))
+        if self.summary_train is not None:
+            # policy weight histograms + update-magnitude stats
+            # (training.py:104-114, utils.py:272-275)
+            self.summary_train.tree("training_policy/weights",
+                                    self.policy_params, count)
+            self.summary_train.histogram("training_policy/weight_update",
+                                         new_flat - old_flat, count)
+            self.summary_train.flush()
+        if self.summary_val is not None:
+            self.summary_val.scalar(
+                "real_current_validation_cost",
+                pol_logs["real_current_validation_cost"], count)
+            self.summary_val.flush()
         self.tabular.record("policy_opt_time", timer.lap())
 
         # --- diff weights for next sweep's param-noise exploration ---
