@@ -35,6 +35,21 @@ SAM_MODES = ("step_rand", "step_rand_balanced", "eps_rand", "model_mean",
              "model_mean_std", "model_med", "one_model")
 
 
+def _precast_ens_params(ensemble: DynamicsEnsemble, ens_params: dict) -> dict:
+    """Cast ensemble weights to the compute dtype ONCE, outside the scan.
+
+    With fp32 masters and a bf16 compute dtype, the per-layer
+    ``w.astype(bf16)`` inside ``mlp_apply`` would otherwise re-read the
+    full fp32 weight set from HBM and write a bf16 copy on EVERY scan
+    step — more bandwidth than the fp32 matmul it was meant to save.
+    Pre-cast here makes the in-loop astype a no-op and halves the
+    per-step weight streaming (the rollout loop is HBM-bandwidth-bound)."""
+    if ensemble.dtype == jnp.float32:
+        return ens_params
+    return jax.tree_util.tree_map(
+        lambda p: p.astype(ensemble.dtype), ens_params)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable per-member rollout costs (BPTT / eval path)
 # ---------------------------------------------------------------------------
@@ -66,6 +81,7 @@ def bptt_costs(policy: GaussianMLPPolicy,
     B = init_states.shape[0]
     if key is None:
         key = jax.random.PRNGKey(0)
+    ens_params = _precast_ens_params(ensemble, ens_params)
 
     def member_cost(member_params):
         def step(carry, t):
@@ -113,8 +129,9 @@ class ImaginedBatch(NamedTuple):
 
 
 def _mix_members(preds: jnp.ndarray, sam_mode: str, member_idx: jnp.ndarray,
-                 key: jax.Array) -> jnp.ndarray:
-    """preds: (K, B, S) -> (B, S) according to the mixing strategy."""
+                 mix_eps: jnp.ndarray) -> jnp.ndarray:
+    """preds: (K, B, S) -> (B, S) according to the mixing strategy.
+    ``mix_eps`` is pre-drawn N(0,1) noise (used by model_mean_std only)."""
     K, B, S = preds.shape
     if sam_mode in ("step_rand", "eps_rand"):
         return jnp.take_along_axis(
@@ -124,7 +141,7 @@ def _mix_members(preds: jnp.ndarray, sam_mode: str, member_idx: jnp.ndarray,
         return jnp.mean(preds, axis=0)
     if sam_mode == "model_mean_std":
         std = jnp.std(preds, axis=0)
-        return jnp.mean(preds, axis=0) + jax.random.normal(key, (B, S)) * std
+        return jnp.mean(preds, axis=0) + mix_eps * std
     if sam_mode == "model_med":
         return jnp.median(preds, axis=0)
     if sam_mode == "one_model":
@@ -144,7 +161,8 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
                          T: int,
                          key: jax.Array,
                          sam_mode: str = "step_rand",
-                         deterministic: bool = False) -> ImaginedBatch:
+                         deterministic: bool = False,
+                         unroll: int = 1) -> ImaginedBatch:
     """Roll B particles T steps through the ensemble, all on device.
 
     Each step: sample a ~ N(policy_mean, std) (unless deterministic), clip,
@@ -153,20 +171,40 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
     do not auto-reset mid-segment; fresh init states arrive each call).
     """
     B = init_states.shape[0]
-    key, k_eps = jax.random.split(key)
+    key, k_eps, k_act, k_member, k_mix = jax.random.split(key, 5)
     eps_member_idx = jax.random.randint(k_eps, (B,), 0, ensemble.n_models)
+    ens_params = _precast_ens_params(ensemble, ens_params)
 
     K = ensemble.n_models
     balanced = sam_mode == "step_rand_balanced" and B % K == 0
 
-    def step(carry, k):
+    # Hoist ALL per-step randomness out of the sequential scan: threefry
+    # key-splits, normal draws, and especially the permutation sorts have
+    # fixed per-call latency that dominates a 500-particle step (the
+    # member matmuls are ~1 us; one on-device sort is tens of us). One
+    # batched draw covering all T steps keeps the scan body to matmuls +
+    # gathers + cost arithmetic.
+    A = ensemble.n_actions
+    act_noise = (jnp.zeros((T, B, A)) if deterministic
+                 else jax.random.normal(k_act, (T, B, A)))
+    if balanced:
+        # (T, B) random permutations + inverses via two batched argsorts
+        # over T*B elements, instead of 2*T sequential B-element sorts.
+        u = jax.random.uniform(k_member, (T, B))
+        perms = jnp.argsort(u, axis=-1)
+        member_xs = (perms, jnp.argsort(perms, axis=-1))
+    elif sam_mode in ("step_rand", "step_rand_balanced"):
+        member_xs = jax.random.randint(k_member, (T, B), 0, K)
+    else:
+        member_xs = jnp.zeros((T, 1), jnp.int32)  # unused placeholder
+    mix_noise = (jax.random.normal(k_mix, (T, B, ensemble.n_obs))
+                 if sam_mode == "model_mean_std" else jnp.zeros((T, 1, 1)))
+
+    def step(carry, xs):
         x, alive, eps_idx = carry
-        k_act, k_member, k_mix = jax.random.split(k, 3)
+        eps_a, member_x, mix_eps = xs
         mean, logstd = policy.dist(policy_params, x)
-        if deterministic:
-            a = mean
-        else:
-            a = mean + jax.random.normal(k_act, mean.shape) * jnp.exp(logstd)
+        a = mean + eps_a * jnp.exp(logstd)
         a_clip = jnp.clip(a, policy.action_low, policy.action_high)
         xgu = jnp.concatenate([x, a_clip], axis=-1)
         if balanced:
@@ -176,8 +214,7 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
             # step_rand, sampled without replacement across the batch) but
             # each member runs on B/K rows instead of all B: K x fewer
             # FLOPs in the hot loop.
-            perm = jax.random.permutation(k_member, B)
-            inv = jnp.argsort(perm)
+            perm, inv = member_x
             xgu_blocks = xgu[perm].reshape(K, B // K, -1)
             preds = ensemble.apply_batched(ens_params, xgu_blocks,
                                            input_stats, diff_stats)
@@ -185,12 +222,12 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
         else:
             preds = ensemble.apply_all(ens_params, xgu, input_stats, diff_stats)
             if sam_mode in ("step_rand", "step_rand_balanced"):
-                member_idx = jax.random.randint(k_member, (B,), 0, K)
+                member_idx = member_x
                 mix_mode = "step_rand"
             else:
                 member_idx = eps_idx
                 mix_mode = sam_mode
-            x_next = _mix_members(preds, mix_mode, member_idx, k_mix)
+            x_next = _mix_members(preds, mix_mode, member_idx, mix_eps)
         reward = -cost_fn(x, a_clip, x_next)
         if is_done_fn is not None:
             done = is_done_fn(x, x_next).astype(jnp.float32)
@@ -201,9 +238,9 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
         out = (x, a, mean, logstd, reward, valid)
         return (x_next, alive, eps_idx), out
 
-    keys = jax.random.split(key, T)
     init = (init_states, jnp.ones((B,)), eps_member_idx)
-    _, (obs, acts, means, logstds, rewards, valids) = jax.lax.scan(step, init, keys)
+    _, (obs, acts, means, logstds, rewards, valids) = jax.lax.scan(
+        step, init, (act_noise, member_xs, mix_noise), unroll=unroll)
 
     # scan stacks on axis 0 (time); transpose to (B, T, ...)
     tr = lambda x: jnp.swapaxes(x, 0, 1)
