@@ -168,6 +168,9 @@ class PolicyOptParams:
     batch_size: int = 500    # number of imagined particles / validation inits
     sam_mode: str = "step_rand"
     remat: bool = False      # jax.checkpoint the BPTT rollout step (O(1)-in-T memory)
+    rollout_unroll: int = 2  # lax.scan unroll factor for the imagined sampler;
+    #   2 lets XLA overlap step t+1's ensemble-weight HBM fetch with step t's
+    #   compute (+20% steps/s on v5e at the B=500 headline workload)
     use_pallas_rollout: bool = False  # VMEM-resident-weights rollout kernel
     #   (velocity-cost envs with 2-hidden-layer nets only)
 
@@ -371,6 +374,7 @@ def config_from_dict(raw: dict) -> ExperimentConfig:
         batch_size=pop_raw.get("batch_size", 500),
         sam_mode=pop_raw.get("sam_mode", "step_rand"),
         remat=bool(pop_raw.get("remat", False)),
+        rollout_unroll=int(pop_raw.get("rollout_unroll", 2)),
         use_pallas_rollout=bool(pop_raw.get("use_pallas_rollout", False)),
     )
 

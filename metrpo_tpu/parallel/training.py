@@ -79,7 +79,7 @@ def make_multichip_train_step(policy: GaussianMLPPolicy,
         batch = rollout_trajectories(
             policy, ensemble, cost_fn, None, policy_params, ens_params,
             input_stats, diff_stats, init_states, pop.T, k_roll,
-            sam_mode=pop.sam_mode)
+            sam_mode=pop.sam_mode, unroll=pop.rollout_unroll)
         batch = batch._replace(
             observations=constrain(batch.observations, P(DATA_AXIS)),
             rewards=constrain(batch.rewards, P(DATA_AXIS)),

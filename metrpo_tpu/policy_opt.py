@@ -175,7 +175,7 @@ class PolicyOptimizer:
         # jitted imagined-trajectory sampler (TRPO/VPG path)
         self._rollout = jax.jit(functools.partial(
             rollout_trajectories, policy, ensemble, cost_fn, is_done_fn),
-            static_argnames=("T", "sam_mode", "deterministic"))
+            static_argnames=("T", "sam_mode", "deterministic", "unroll"))
 
         # optional pallas resident-weights sampler (velocity-cost envs,
         # 2-hidden-layer policy/dynamics nets)
@@ -230,7 +230,8 @@ class PolicyOptimizer:
                     self._pallas_spec, policy_params, self._pallas(*packed))
             return self._rollout(policy_params, ens_params, input_stats,
                                  diff_stats, inits, T=pop.T, key=k,
-                                 sam_mode=pop.sam_mode)
+                                 sam_mode=pop.sam_mode,
+                                 unroll=pop.rollout_unroll)
 
         if self.algo_name in ("trpo", "npg"):
             k1, k2 = jax.random.split(key)
@@ -247,7 +248,8 @@ class PolicyOptimizer:
             k1, _ = jax.random.split(key)
             batch = self._rollout(policy_params, ens_params, input_stats,
                                   diff_stats, inits, T=pop.T, key=k1,
-                                  sam_mode=pop.sam_mode)
+                                  sam_mode=pop.sam_mode,
+                                  unroll=pop.rollout_unroll)
             policy_params, opt_state, stats = self._ppo_update(
                 policy_params, opt_state, batch)
             return policy_params, opt_state, float(stats.loss)
@@ -336,7 +338,8 @@ class PolicyOptimizer:
                     batch = self._rollout(
                         policy_params, scope_ens_params["training_dynamics"],
                         input_stats, diff_stats, inits, T=pop.T, key=k_d,
-                        sam_mode=pop.sam_mode, deterministic=True)
+                        sam_mode=pop.sam_mode, deterministic=True,
+                        unroll=pop.rollout_unroll)
                     returns = np.asarray(
                         jnp.sum(batch.rewards * batch.valids, axis=1))
                     candidates["trpo_mean"] = float(np.mean(-returns))
