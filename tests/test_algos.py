@@ -142,3 +142,29 @@ def test_rollout_sam_modes():
             inits, 4, jax.random.PRNGKey(2), sam_mode=mode)
         assert batch.observations.shape == (6, 4, 2), mode
         assert np.all(np.isfinite(np.asarray(batch.rewards))), mode
+
+
+def test_rollout_unroll_is_semantics_preserving():
+    """unroll is a scheduling knob only: identical trajectories for any
+    unroll factor (incl. T not divisible by it) and a fixed key."""
+    env = Point2DEnv()
+    policy = GaussianMLPPolicy.create(2, 2, PolicyModelParams(hidden_layers=(8,)))
+    ens = DynamicsEnsemble.create(2, 2, 0, DynamicsModelParams(
+        hidden_layers=(16,), nonlinearity=("relu",)), 3)
+    pp = policy.init(jax.random.PRNGKey(0))
+    ep = ens.init(jax.random.PRNGKey(1))
+    in_stats = running_stats_update(running_stats_init(4), np.random.randn(50, 4))
+    diff_stats = running_stats_update(running_stats_init(2),
+                                      0.1 * np.random.randn(50, 2))
+    inits = jnp.asarray(np.random.randn(6, 2), jnp.float32)
+    for mode in ("step_rand", "step_rand_balanced"):
+        ref = rollout_trajectories(
+            policy, ens, env.cost, None, pp, ep, in_stats, diff_stats,
+            inits, 7, jax.random.PRNGKey(2), sam_mode=mode, unroll=1)
+        for unroll in (2, 4):
+            out = rollout_trajectories(
+                policy, ens, env.cost, None, pp, ep, in_stats, diff_stats,
+                inits, 7, jax.random.PRNGKey(2), sam_mode=mode, unroll=unroll)
+            for a, b in zip(ref, out):
+                np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                           rtol=1e-6, atol=1e-6)
