@@ -17,9 +17,10 @@ from metrpo_tpu.models.policy import GaussianMLPPolicy
 
 
 def make_npg_update(policy: GaussianMLPPolicy, cfg: TrpoParams,
-                    baseline: LinearFeatureBaseline | None = None):
+                    baseline: LinearFeatureBaseline | None = None,
+                    jit: bool = True):
     # max_backtracks=1 with backtrack_ratio irrelevant: the first (full)
     # step is taken if it improves the surrogate within the KL region;
     # otherwise no update — the conservative NPG variant.
     npg_cfg = dataclasses.replace(cfg, max_backtracks=1)
-    return make_trpo_update(policy, npg_cfg, baseline)
+    return make_trpo_update(policy, npg_cfg, baseline, jit=jit)

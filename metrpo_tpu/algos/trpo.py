@@ -49,8 +49,13 @@ def _prepare(batch: ImaginedBatch, discount: float, gae_lambda: float,
 
 
 def make_trpo_update(policy: GaussianMLPPolicy, cfg: TrpoParams,
-                     baseline: LinearFeatureBaseline | None = None):
-    """Build the jitted TRPO update: (params, ImaginedBatch) -> (params', stats)."""
+                     baseline: LinearFeatureBaseline | None = None,
+                     jit: bool = True):
+    """Build the TRPO update: (params, ImaginedBatch) -> (params', stats).
+
+    ``jit=False`` returns the raw traceable function so callers can embed
+    it inside a larger jitted program (e.g. the chunked rollout+update
+    scan in policy_opt.py)."""
     if baseline is None:
         baseline = LinearFeatureBaseline()
 
@@ -134,4 +139,4 @@ def make_trpo_update(policy: GaussianMLPPolicy, cfg: TrpoParams,
         )
         return new_params, stats
 
-    return jax.jit(update)
+    return jax.jit(update) if jit else update

@@ -28,7 +28,8 @@ class VpgStats(NamedTuple):
 
 
 def make_vpg_update(policy: GaussianMLPPolicy, cfg: VpgParams,
-                    baseline: LinearFeatureBaseline | None = None):
+                    baseline: LinearFeatureBaseline | None = None,
+                    jit: bool = True):
     if baseline is None:
         baseline = LinearFeatureBaseline()
     opt = optax.adam(cfg.learning_rate)
@@ -60,4 +61,4 @@ def make_vpg_update(policy: GaussianMLPPolicy, cfg: VpgParams,
         )
         return new_params, opt_state, stats
 
-    return jax.jit(update), init_opt_state
+    return (jax.jit(update) if jit else update), init_opt_state

@@ -33,13 +33,26 @@ from metrpo_tpu.utils.replay import ReplayDataset
 from metrpo_tpu.utils.tree import tree_flatten_vector, tree_unflatten_vector
 
 
-def make_act_batch_fn(policy: GaussianMLPPolicy):
+def make_act_batch_fn(policy: GaussianMLPPolicy, prefer_cpu: bool = False):
     """Jitted per-episode-params batched policy mean (build once and reuse
-    — a fresh jit per collect call recompiles every sweep)."""
+    — a fresh jit per collect call recompiles every sweep).
+
+    ``prefer_cpu=True`` pins the per-step forward to the host CPU backend
+    (see evaluate.make_act_fn): real-env stepping is a host loop, and a
+    tunnel round trip per step would dominate the tiny policy MLP."""
+    cpu = None
+    if prefer_cpu:
+        from metrpo_tpu.evaluate import host_cpu_device
+        cpu = host_cpu_device()
+
     @jax.jit
     def act_batch(param_stack, obs):
         return jax.vmap(lambda p, o: policy.mean(p, o))(param_stack, obs)
-    return act_batch
+
+    act_batch_out = lambda ps, o: act_batch(ps, o)
+    act_batch_out.prepare = (lambda t: jax.device_put(t, cpu)) if cpu is not None \
+        else (lambda t: t)
+    return act_batch_out
 
 
 class CollectInfo(NamedTuple):
@@ -102,6 +115,10 @@ def collect_real_rollouts(env: HostEnv,
     n_envs = len(env_pool)
     bounds_lo, bounds_hi = env.action_space.bounds
 
+    prepare = getattr(act_batch, "prepare", lambda t: t)
+    policy_params = prepare(policy_params)
+    key = prepare(key)
+
     while total < sample_size:
         key, k_perturb = jax.random.split(key)
         param_stack, wc = _perturbed_param_stack(
@@ -113,7 +130,7 @@ def collect_real_rollouts(env: HostEnv,
         ep_rew = [[] for _ in range(n_envs)]
         alive = np.ones(n_envs, dtype=bool)
         for t in range(max_timestep):
-            actions = np.asarray(act_batch(param_stack, jnp.asarray(obs, jnp.float32)))
+            actions = np.asarray(act_batch(param_stack, np.asarray(obs, np.float32)))
             if exploration.vary_trajectory_noise:
                 scale = np.random.uniform(size=(n_envs, 1))
             else:

@@ -27,12 +27,37 @@ from metrpo_tpu.models.policy import GaussianMLPPolicy
 from metrpo_tpu.utils.normalizer import RunningStats
 
 
-def make_act_fn(policy: GaussianMLPPolicy):
+def host_cpu_device():
+    """The host CPU jax device, or None if unavailable."""
+    try:
+        return jax.devices("cpu")[0]
+    except RuntimeError:
+        return None
+
+
+def make_act_fn(policy: GaussianMLPPolicy, prefer_cpu: bool = False):
     """One jitted deterministic-act function to share across all host-side
     eval/collect loops.  (Constructing jax.jit(lambda...) inside each call
     would recompile on EVERY invocation — the jit cache is keyed by
-    function identity.)"""
-    return jax.jit(lambda p, o: policy.act(p, o, clip=True))
+    function identity.)
+
+    ``prefer_cpu=True`` pins the computation to the host CPU backend: the
+    policy is a tiny 32x32 MLP while the accelerator may sit behind a
+    network tunnel, so a host-stepped env loop (one act per env step) is
+    dominated by dispatch round-trip latency, not compute.  The returned
+    fn exposes ``.prepare(params)`` to move the params to the target
+    device ONCE per rollout instead of once per step."""
+    cpu = host_cpu_device() if prefer_cpu else None
+    jfn = jax.jit(lambda p, o: policy.act(p, o, clip=True))
+
+    def act(params, obs):
+        return jfn(params, obs)
+
+    if cpu is not None:
+        act.prepare = lambda p: jax.device_put(p, cpu)
+    else:
+        act.prepare = lambda p: p
+    return act
 
 
 def evaluate_fixed_init_trajectories(env: HostEnv,
@@ -53,9 +78,14 @@ def evaluate_fixed_init_trajectories(env: HostEnv,
     dones = np.zeros(n, dtype=bool)
     cost, reward = 0.0, 0.0
 
-    act = act_fn if act_fn is not None else make_act_fn(policy)
+    act = act_fn if act_fn is not None else make_act_fn(policy, prefer_cpu=True)
+    if hasattr(act, "prepare"):
+        policy_params = act.prepare(policy_params)
     for t in range(max_timestep):
-        actions = np.asarray(act(policy_params, jnp.asarray(observations, jnp.float32)))
+        # numpy (uncommitted) obs + params committed to the act device:
+        # the jitted program runs where the params live (host CPU when
+        # prefer_cpu), avoiding a tunnel round trip per env step
+        actions = np.asarray(act(policy_params, np.asarray(observations, np.float32)))
         next_obs, _rewards, _dones, _ = pool.step_batch(actions)
         dones = np.logical_or(dones, _dones)
         rewards = (1.0 - dones) * _rewards * gamma ** t

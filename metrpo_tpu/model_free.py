@@ -27,13 +27,33 @@ from metrpo_tpu.utils.prng import KeySequence
 from metrpo_tpu.utils.tabular import TabularLogger
 
 
+def make_mean_fn(policy: GaussianMLPPolicy):
+    """ONE cached jitted policy-mean fn, pinned to the host CPU backend
+    when available (the per-step real-env loop is round-trip bound; see
+    evaluate.make_act_fn). A fresh ``jax.jit(policy.dist)`` per step would
+    re-trace every call — the jit cache is keyed on function identity."""
+    from metrpo_tpu.evaluate import host_cpu_device
+    cpu = host_cpu_device()
+    jfn = jax.jit(lambda p, o: policy.dist(p, o)[0])
+
+    def mean_fn(params, obs):
+        return jfn(params, obs)
+
+    mean_fn.prepare = (lambda t: jax.device_put(t, cpu)) if cpu is not None \
+        else (lambda t: t)
+    return mean_fn
+
+
 def collect_real_batch(env_pool: VecHostEnv, policy: GaussianMLPPolicy,
-                       policy_params: dict, T: int, key) -> ImaginedBatch:
+                       policy_params: dict, T: int, key,
+                       mean_fn=None) -> ImaginedBatch:
     """Roll every env in the pool T steps with the stochastic policy and
     pack a fixed-shape (B, T) batch with validity masking."""
     B = len(env_pool)
     obs = env_pool.reset_batch()
-    act = jax.jit(lambda p, o, k: policy.dist(p, o))
+    if mean_fn is None:
+        mean_fn = make_mean_fn(policy)
+    policy_params = mean_fn.prepare(policy_params)
 
     o_hist = np.zeros((B, T, obs.shape[1]), np.float32)
     a_hist = np.zeros((B, T, policy.n_actions), np.float32)
@@ -43,8 +63,7 @@ def collect_real_batch(env_pool: VecHostEnv, policy: GaussianMLPPolicy,
     alive = np.ones(B, bool)
     logstd = np.asarray(policy_params["logstd"])
     for t in range(T):
-        mean, _ = jax.jit(policy.dist)(policy_params, jnp.asarray(obs, jnp.float32))
-        mean = np.asarray(mean)
+        mean = np.asarray(mean_fn(policy_params, np.asarray(obs, np.float32)))
         a = mean + np.random.randn(*mean.shape) * np.exp(logstd)
         a_clip = np.clip(a, np.asarray(policy.action_low),
                          np.asarray(policy.action_high))
@@ -96,9 +115,10 @@ def train_model_free(env: HostEnv, env_factory, policy_cfg,
     tab = TabularLogger(None if snapshot_dir is None else
                         f"{snapshot_dir}/progress.csv")
     curve = []
+    mean_fn = make_mean_fn(policy)
     for itr in range(n_itr):
         batch = collect_real_batch(pool, policy, params, max_path_length,
-                                   keys.next())
+                                   keys.next(), mean_fn=mean_fn)
         if algo == "trpo":
             params, stats = update(params, batch)
         else:

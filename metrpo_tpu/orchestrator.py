@@ -198,7 +198,10 @@ class Trainer:
                 jnp.asarray(self.policy_validation_reset_init, jnp.float32)))
         if not hasattr(self, "_act_fn"):
             from metrpo_tpu.evaluate import make_act_fn
-            self._act_fn = make_act_fn(self.policy)
+            # host CPU backend: the oracle loop does one policy forward
+            # per real-env step; over a tunneled accelerator that is one
+            # network round trip per step (~10 s per eval in round 1)
+            self._act_fn = make_act_fn(self.policy, prefer_cpu=True)
         return evaluate_fixed_init_trajectories(
             self.env, self.oracle_pool, self.policy, policy_params,
             self.policy_validation_reset_init,
@@ -231,7 +234,8 @@ class Trainer:
             else:
                 if not hasattr(self, "_act_batch_fn"):
                     from metrpo_tpu.collect import make_act_batch_fn
-                    self._act_batch_fn = make_act_batch_fn(self.policy)
+                    self._act_batch_fn = make_act_batch_fn(self.policy,
+                                                           prefer_cpu=True)
                 Os, As, Rs, cinfo = collect_real_rollouts(
                     self.env, self.collect_pool, self.policy, self.policy_params,
                     self.diff_weights, cfg.rollout_params.exploration,
@@ -333,6 +337,23 @@ class Trainer:
         for mode, vals in pol_logs["min_validation_costs"].items():
             self.tabular.record(f"{mode}_policy_mean_min_validation_cost",
                                 float(np.mean(vals)))
+        # optimizer internals + ensemble-vote diagnostics (VERDICT r1
+        # weak #1/#2): last eval's TRPO stats, vote fractions, rejection count
+        iter_stats = pol_logs.get("iter_stats") or []
+        last_stats = iter_stats[-1] if iter_stats else {}
+        if cfg.algo in ("trpo", "npg"):
+            for k in ("kl", "surrogate_improvement", "step_accept_rate",
+                      "backtracks", "entropy", "imagined_mean_return"):
+                self.tabular.record(f"trpo_{k}", float(last_stats.get(k, 0.0)))
+        votes = pol_logs.get("vote_fraction_worse") or []
+        est_votes = [v.get("estimated", 0.0) for v in votes]
+        self.tabular.record("vote_frac_worse_last",
+                            est_votes[-1] if est_votes else 0.0)
+        self.tabular.record("vote_frac_worse_mean",
+                            float(np.mean(est_votes)) if est_votes else 0.0)
+        self.tabular.record("n_policy_evals", pol_logs.get("n_evals", 0))
+        self.tabular.record("n_rejected_evals",
+                            pol_logs.get("n_rejected_evals", 0))
         if self.log_dir:
             with open(os.path.join(
                     self.log_dir, f"policy_learning_sweep_{count}.pkl"), "wb") as f:
