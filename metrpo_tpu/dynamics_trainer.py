@@ -32,9 +32,17 @@ from metrpo_tpu.utils.tree import tree_select
 
 
 class DynamicsTrainer:
-    def __init__(self, ensemble: DynamicsEnsemble, opt_params: DynamicsOptParams):
+    def __init__(self, ensemble: DynamicsEnsemble, opt_params: DynamicsOptParams,
+                 mesh=None):
         self.ensemble = ensemble
         self.cfg = opt_params
+        # (data, ensemble) mesh: per-member minibatches shard over 'data',
+        # stacked member params/updates over 'ensemble' (EP x DP).  The
+        # replay snapshot is replicated — at ME-TRPO scale (<=200k x ~25
+        # floats) replication is cheaper than an all-to-all gather per
+        # minibatch draw.
+        self.mesh = mesh
+        from metrpo_tpu.parallel.mesh import constrain_batch
         lr = opt_params.learning_rate
         if isinstance(lr, dict):
             self.lr_scratch, self.lr_refine = lr["scratch"], lr["refine"]
@@ -46,6 +54,9 @@ class DynamicsTrainer:
 
         @jax.jit
         def train_step(params, opt_state, x, y, input_stats, diff_stats):
+            x = constrain_batch(self.mesh, x, axis=1, ensemble_axis=0)
+            y = constrain_batch(self.mesh, y, axis=1, ensemble_axis=0)
+
             def total_loss(p):
                 pred = ens.prediction_losses(p, x, y, input_stats, diff_stats)
                 reg = ens.regularizer_losses(p)
@@ -71,8 +82,10 @@ class DynamicsTrainer:
             def body(carry, k):
                 params, opt_state = carry
                 idx = jax.random.randint(k, (K, batch_size), 0, n_data)
-                xb = data_x[idx]
-                yb = data_y[idx]
+                xb = constrain_batch(self.mesh, data_x[idx],
+                                     axis=1, ensemble_axis=0)
+                yb = constrain_batch(self.mesh, data_y[idx],
+                                     axis=1, ensemble_axis=0)
 
                 def total_loss(p):
                     pred = ens.prediction_losses(p, xb, yb, input_stats,
@@ -96,6 +109,9 @@ class DynamicsTrainer:
             """Per-member loss, every member on the SAME validation set:
             (B,D),(B,S) -> (K,).  Includes the regularizer term, matching
             the reference's 'dynamics_losses' validation metric."""
+            x_val = constrain_batch(self.mesh, x_val, axis=0)
+            y_val = constrain_batch(self.mesh, y_val, axis=0)
+
             def member_loss(p):
                 pred = ens.apply_member(p, x_val, input_stats, diff_stats)
                 return jnp.mean(jnp.sum(jnp.square(pred - y_val), axis=-1))
@@ -148,16 +164,20 @@ class DynamicsTrainer:
                             "initial_validation_losses": [],
                             "final_validation_losses": []}
 
+        from metrpo_tpu.parallel.mesh import (replicate_tree, shard_batch,
+                                              shard_ensemble_params)
         if reinitialize:
-            params = self.init_params(key)
+            params = shard_ensemble_params(self.mesh, self.init_params(key), K)
             lr = self.lr_scratch
         else:
             lr = self.lr_refine
         # Adam state re-initialized every sweep (model_based_rl.py:908,915)
         opt_state = self.init_opt_state(params, lr)
 
-        x_val = jnp.asarray(validation.x[:max_val_rows], jnp.float32)
-        y_val = jnp.asarray(validation.y[:max_val_rows], jnp.float32)
+        x_val = shard_batch(self.mesh,
+                            np.asarray(validation.x[:max_val_rows], np.float32))
+        y_val = shard_batch(self.mesh,
+                            np.asarray(validation.y[:max_val_rows], np.float32))
 
         best_params = params
         best_losses = self._val_losses(params, x_val, y_val, input_stats, diff_stats)
@@ -182,8 +202,13 @@ class DynamicsTrainer:
         if use_chunks:
             chunk = 1 << max(int(np.log2(max(log_every, 1)) + 0.5), 0)
             chunk = max(min(chunk, 2048), 1)
-            data_x = jnp.asarray(data.x, jnp.float32)
-            data_y = jnp.asarray(data.y, jnp.float32)
+            data_x = np.asarray(data.x, np.float32)
+            data_y = np.asarray(data.y, np.float32)
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                # replicated replay snapshot (one host->devices upload per
+                # fit); minibatch gathers stay device-local
+                data_x = replicate_tree(self.mesh, data_x)
+                data_y = replicate_tree(self.mesh, data_y)
 
         recover_indices = np.zeros(K)
         refine_idx = -1

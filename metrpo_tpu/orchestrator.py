@@ -43,11 +43,22 @@ class Trainer:
     """Owns all state for one ME-TRPO experiment."""
 
     def __init__(self, cfg: ExperimentConfig, env: HostEnv, env_factory,
-                 snapshot_dir: Optional[str] = None, seed: Optional[int] = None):
+                 snapshot_dir: Optional[str] = None, seed: Optional[int] = None,
+                 mesh=None):
         self.cfg = cfg
         self.env = env
         seed = cfg.seed if seed is None else seed
         self.keys = KeySequence(seed)
+        # (data, ensemble) device mesh over every visible chip: imagined
+        # particles / TRPO batches / dynamics minibatches shard over
+        # 'data', stacked ensemble members over 'ensemble'.  A single
+        # device is the degenerate 1x1 mesh — same programs either way
+        # (SURVEY.md §5.8; replaces the reference's fork-pool sampler,
+        # samplers/batch_sampler.py:16-41).
+        from metrpo_tpu.parallel.mesh import default_mesh, shard_ensemble_params
+        self.mesh = mesh if mesh is not None else default_mesh()
+        self._shard_ens = lambda p: shard_ensemble_params(
+            self.mesh, p, cfg.n_models)
         self.snapshot_dir = snapshot_dir
         self.log_dir = os.path.join(snapshot_dir, "training_logs") if snapshot_dir else None
         if self.log_dir:
@@ -77,9 +88,10 @@ class Trainer:
             n_states, n_actions, n_goals, cfg.dynamics_model, cfg.n_models,
             dt=env.dt)
         self.scopes = model_scopes_for_mode(pop.mode)
-        self.ens_params = {s: self.ensemble.init(self.keys.next())
+        self.ens_params = {s: self._shard_ens(self.ensemble.init(self.keys.next()))
                            for s in self.scopes}
-        self.trainer = DynamicsTrainer(self.ensemble, cfg.dynamics_opt_params)
+        self.trainer = DynamicsTrainer(self.ensemble, cfg.dynamics_opt_params,
+                                       mesh=self.mesh)
 
         # --- normalization stats ---
         self.input_stats = running_stats_init(n_obs + n_actions, epsilon=0.0)
@@ -125,7 +137,13 @@ class Trainer:
             cfg.algo, self.policy, self.ensemble, env, pop,
             sample_init_states=self._sample_init_states,
             oracle_eval=self._oracle_eval,
-            logger=self.logger)
+            logger=self.logger,
+            mesh=self.mesh)
+        if self.mesh.devices.size > 1:
+            self.logger.info(
+                "device mesh: %s (data=%d, ensemble=%d)",
+                self.mesh.shape, self.mesh.shape["data"],
+                self.mesh.shape["ensemble"])
 
         self.diff_weights: Optional[np.ndarray] = None
         self.count = 0
@@ -418,7 +436,10 @@ class Trainer:
         self.count = state["count"]
         self.policy_params = jax.tree_util.tree_map(jnp.asarray,
                                                     state["policy_params"])
-        self.ens_params = jax.tree_util.tree_map(jnp.asarray, state["ens_params"])
+        self.ens_params = {
+            scope: self._shard_ens(
+                jax.tree_util.tree_map(jnp.asarray, params))
+            for scope, params in state["ens_params"].items()}
         self.input_stats = jax.tree_util.tree_map(jnp.asarray, state["input_stats"])
         self.diff_stats = jax.tree_util.tree_map(jnp.asarray, state["diff_stats"])
         self.diff_weights = state["diff_weights"]

@@ -104,7 +104,8 @@ class PolicyOptimizer:
                  pop: PolicyOptParams,
                  sample_init_states: Callable[[int], np.ndarray],
                  oracle_eval: Callable[[dict], float],
-                 logger=None):
+                 logger=None,
+                 mesh=None):
         self.algo_name = algo_name
         self.policy = policy
         self.ensemble = ensemble
@@ -113,6 +114,10 @@ class PolicyOptimizer:
         self.sample_init_states = sample_init_states
         self.oracle_eval = oracle_eval
         self.logger = logger
+        # (data, ensemble) mesh: imagined particles / validation inits
+        # shard over 'data', ensemble members over 'ensemble'.  The SAME
+        # jitted programs serve single-device (1x1 mesh) and multi-chip.
+        self.mesh = mesh
 
         cost_fn = env.cost
         is_done_fn = env.is_done if env.has_analytic_done else None
@@ -183,9 +188,11 @@ class PolicyOptimizer:
             static_argnames=("T", "sam_mode", "deterministic", "unroll"))
 
         # optional pallas resident-weights sampler (velocity-cost envs,
-        # 2-hidden-layer policy/dynamics nets)
+        # 2-hidden-layer policy/dynamics nets; single-device only)
         self._pallas = None
-        if pop.use_pallas_rollout and hasattr(env, "velocity_cost_spec") \
+        single_device = mesh is None or mesh.devices.size == 1
+        if pop.use_pallas_rollout and single_device \
+                and hasattr(env, "velocity_cost_spec") \
                 and env.n_goals == 0 \
                 and ensemble.prediction_type == "state_change" \
                 and not ensemble.use_logit_weights \
@@ -228,6 +235,8 @@ class PolicyOptimizer:
         decisive when the device sits behind a network tunnel."""
         policy, ensemble, pop = self.policy, self.ensemble, self.pop
         cost_fn, is_done_fn = self.cost_fn, self.is_done_fn
+        mesh = self.mesh
+        from metrpo_tpu.parallel.mesh import constrain_batch
 
         @jax.jit
         def chunk(policy_params, opt_state, ens_params, input_stats,
@@ -236,6 +245,10 @@ class PolicyOptimizer:
             def body(carry, xs):
                 params, opt_state = carry
                 init, k = xs
+                # particles over the 'data' mesh axis: the rollout scan,
+                # GAE, and the TRPO surrogate/KL/Fisher-vector reductions
+                # all shard over it (psum collectives inserted by GSPMD)
+                init = constrain_batch(mesh, init, axis=0)
                 batch = rollout_trajectories(
                     policy, ensemble, cost_fn, is_done_fn, params, ens_params,
                     input_stats, diff_stats, init, T=pop.T, key=k,
@@ -256,9 +269,13 @@ class PolicyOptimizer:
                        input_stats, diff_stats, key, n: int):
         """Run n fused iterations; returns (params', opt_state',
         training_cost, stats_entry dict)."""
+        from metrpo_tpu.parallel.mesh import shard_batch
         B = self.n_particles
-        inits = jnp.asarray(
-            self.sample_init_states(n * B), jnp.float32).reshape(n, B, -1)
+        inits = shard_batch(
+            self.mesh,
+            np.asarray(self.sample_init_states(n * B),
+                       np.float32).reshape(n, B, -1),
+            axis=1)
         keys = jax.random.split(key, n)
         policy_params, opt_state, stats = self._chunk(
             policy_params, opt_state, ens_params, input_stats, diff_stats,
@@ -291,7 +308,10 @@ class PolicyOptimizer:
     def _algo_iteration(self, policy_params, opt_state, ens_params,
                         input_stats, diff_stats, key):
         pop = self.pop
-        inits = jnp.asarray(self.sample_init_states(self.n_particles), jnp.float32)
+        from metrpo_tpu.parallel.mesh import shard_batch
+        inits = shard_batch(
+            self.mesh,
+            np.asarray(self.sample_init_states(self.n_particles), np.float32))
 
         def sample_batch(k):
             if self._pallas is not None:
@@ -370,7 +390,9 @@ class PolicyOptimizer:
             opt_state = None
 
         best_params = policy_params
-        v_inits = jnp.asarray(validation_inits, jnp.float32)
+        from metrpo_tpu.parallel.mesh import shard_batch
+        v_inits = shard_batch(self.mesh,
+                              np.asarray(validation_inits, np.float32))
 
         def estimated_costs(params):
             return {

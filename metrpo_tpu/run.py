@@ -46,7 +46,51 @@ def build_parser() -> argparse.ArgumentParser:
                    help="skip interactive algo/env mismatch confirmation")
     p.add_argument("-profile", type=str, default=None, metavar="DIR",
                    help="capture a jax.profiler trace of the run into DIR")
+    p.add_argument("-parallel", action="store_true",
+                   help="run the -n seeds as concurrent processes (the "
+                        "TPU-native analog of the reference's N EC2 "
+                        "instances, run_model_based_rl.py:147-169); "
+                        "requires a platform where processes don't contend "
+                        "for one exclusive chip (use -platform cpu, or one "
+                        "process per pod slice)")
+    p.add_argument("-platform", type=str, default=None,
+                   help="force the jax platform (e.g. 'cpu') before "
+                        "backend init — the env var alone is overridden "
+                        "by site customizations on some images")
     return p
+
+
+def _launch_seed_fleet(args, argv) -> int:
+    """Spawn one subprocess per seed and wait (fleet parallelism)."""
+    import subprocess
+    base_dir = args.snapshot_dir
+    procs = []
+    for i in range(args.n):
+        seed = args.seed + i
+        child = [sys.executable, "-m", "metrpo_tpu.run", args.algo,
+                 "-seed", str(seed), "-n", "1", "-yes"]
+        if args.env:
+            child += ["-env", args.env]
+        if args.params:
+            child += ["-params", args.params]
+        if args.replace:
+            child += ["-replace", args.replace]
+        if args.sweeps is not None:
+            child += ["-sweeps", str(args.sweeps)]
+        if args.platform:
+            child += ["-platform", args.platform]
+        if args.resume:
+            child += ["-resume"]
+        if base_dir:
+            child += ["-snapshot-dir", os.path.join(base_dir, f"seed_{seed}")]
+        procs.append((seed, subprocess.Popen(child)))
+    rc = 0
+    for seed, proc in procs:
+        code = proc.wait()
+        if code != 0:
+            print(f"seed {seed} exited with {code}", file=sys.stderr)
+            rc = code
+    return rc
 
 
 def main(argv=None):
