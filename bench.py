@@ -109,6 +109,9 @@ def main():
         "value": best,
         "unit": "steps/s",
         "vs_baseline": round(best / BASELINE_STEPS_PER_SEC, 2),
+        # the reference publishes no throughput numbers; the 3e4 steps/s
+        # TF 1.4 figure is derived analytically (see module docstring)
+        "baseline": "estimated",
         "variants": variants,
         "trpo_update_time_s": round(trpo_time, 4),
         "n_particles": N_PARTICLES,

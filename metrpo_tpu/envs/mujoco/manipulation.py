@@ -1,9 +1,11 @@
 """Humanoid, reacher and walker envs.
 
   - SimpleHumanoidEnv / HumanoidEnv: obs = qpos[3:] + qvel + head position,
-    cost = (head_h - 1.5)^2 + ctrl (reference com_simple_humanoid_env.py:37-109;
-    the reference's HumanoidEnv is the same env on humanoid.xml,
-    com_humanoid_env.py:1-6).
+    cost = (head_h - 1.5)^2 + ctrl (reference com_simple_humanoid_env.py:37-109).
+    SimpleHumanoid runs the reduced 10-DOF model (in-tree
+    assets/simple_humanoid.xml, reference vendor/mujoco_models/
+    simple_humanoid.xml); HumanoidEnv is the same env contract on the full
+    humanoid.xml (com_humanoid_env.py:1-6).
   - ReacherEnv: goal-conditioned obs [theta1, theta2, dtheta1, dtheta2,
     goal_xy] with an analytic fingertip forward-kinematics cost
     (reference envs/reacher_env.py:72-116) — exercises the n_goals split.
@@ -24,7 +26,7 @@ from metrpo_tpu.envs.mujoco.host_env import MujocoHostEnv
 
 
 class SimpleHumanoidEnv(MujocoHostEnv):
-    XML = "humanoid.xml"
+    XML = "simple_humanoid.xml"
     FRAME_SKIP = 5
 
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-3,

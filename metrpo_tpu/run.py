@@ -95,9 +95,18 @@ def _launch_seed_fleet(args, argv) -> int:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     path = args.params or default_params_path(args.env)
     if not os.path.exists(path):
         sys.exit(f"params file not found: {path}")
+
+    if args.parallel and args.n > 1:
+        rc = _launch_seed_fleet(args, argv)
+        if rc:
+            sys.exit(rc)
+        return
 
     overrides = {}
     if args.replace:

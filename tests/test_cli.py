@@ -40,3 +40,41 @@ def test_all_param_files_roundtrip():
     for p in sorted(glob.glob("params/*.json")):
         cfg = load_config(p)
         config_from_dict(config_to_dict(cfg))
+
+
+@pytest.mark.slow
+def test_parallel_seed_fleet(tmp_path):
+    """-n N -parallel runs the seeds as concurrent processes (the in-tree
+    analog of the reference's N EC2 instances,
+    run_model_based_rl.py:147-169). Concurrency is proven by overlapping
+    run windows (params.json written at start, progress.csv at end)."""
+    import os
+    import subprocess
+    import sys
+
+    replace = ("{'sweep_iters': 1, 'sample_size': 60, "
+               "'dynamics_opt_params': {'max_passes': 4, "
+               "'num_passes_threshold': 2}, "
+               "'policy_opt_params': {'max_iters': 4, 'log_every': 2, "
+               "'num_iters_threshold': 2}}")
+    cmd = [sys.executable, "-m", "metrpo_tpu.run", "bptt", "-env", "point2D",
+           "-platform", "cpu", "-n", "2", "-parallel", "-yes",
+           "-replace", replace, "-snapshot-dir", str(tmp_path)]
+    env = dict(os.environ)
+    env["PYTHONPATH"] = "/root/repo"
+    # children must not grab the 8-virtual-device flag's memory x2 — plain
+    # single-device CPU is fine for this test
+    env.pop("XLA_FLAGS", None)
+    subprocess.run(cmd, check=True, env=env, timeout=600)
+
+    windows = {}
+    for seed in (0, 1):
+        d = tmp_path / f"seed_{seed}"
+        start = (d / "params.json").stat().st_mtime
+        end = (d / "progress.csv").stat().st_mtime
+        assert end > start
+        with open(d / "progress.csv") as f:
+            assert "real_current_validation_cost" in f.readline()
+        windows[seed] = (start, end)
+    (s0, e0), (s1, e1) = windows[0], windows[1]
+    assert s0 < e1 and s1 < e0, f"seed runs did not overlap: {windows}"
