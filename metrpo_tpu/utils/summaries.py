@@ -12,10 +12,14 @@ distributions (``model_based_rl.py:77-79, 146-148``), written by two
 TPU-native redesign: all per-leaf statistics (mean/std/min/max/L2 and a
 fixed-bucket histogram) for an entire param pytree are computed in ONE
 jitted program — a single device round-trip per dump instead of one
-summary op per variable — and written as JSONL event records (one JSON
-object per line: ``{"step", "tag", "kind", ...}``) under
-``tf_logs/{train,val}``. JSONL is directly loadable with pandas/jq; no
-protobuf dependency.
+summary op per variable — and written to BOTH sinks:
+
+* JSONL event records (one JSON object per line: ``{"step", "tag",
+  "kind", ...}``) — directly loadable with pandas/jq;
+* real TensorBoard ``events.out.tfevents.*`` files via
+  ``utils/tbevents.py`` (hand-encoded Event protos + TFRecord framing,
+  no TF/TB dependency), so ``tensorboard --logdir tf_logs`` works
+  exactly as it did on the reference's FileWriter output.
 """
 
 from __future__ import annotations
@@ -64,9 +68,11 @@ class SummaryWriter:
     """JSONL event writer — the FileWriter analog."""
 
     def __init__(self, logdir: str):
+        from metrpo_tpu.utils.tbevents import TBEventWriter
         self.logdir = logdir
         os.makedirs(logdir, exist_ok=True)
         self._f = open(os.path.join(logdir, "events.jsonl"), "a")
+        self._tb = TBEventWriter(logdir)
 
     def _write(self, record: dict):
         self._f.write(json.dumps(record) + "\n")
@@ -74,6 +80,7 @@ class SummaryWriter:
     def scalar(self, tag: str, value: Any, step: int):
         self._write({"step": int(step), "tag": tag, "kind": "scalar",
                      "value": float(value)})
+        self._tb.scalar(tag, float(value), step)
 
     def histogram(self, tag: str, values, step: int):
         """Histogram of a host array (e.g. ensemble loss distribution,
@@ -86,6 +93,7 @@ class SummaryWriter:
             "min": float(values.min()), "max": float(values.max()),
             "hist_counts": counts.tolist(), "hist_edges": edges.tolist(),
         })
+        self._tb.histogram(tag, values, step, counts=counts, edges=edges)
 
     def tree(self, prefix: str, tree, step: int):
         """variable_summaries over a whole param/grad pytree
@@ -105,12 +113,29 @@ class SummaryWriter:
                 "hist_counts": np.asarray(st["hist_counts"]).tolist(),
                 "hist_edges": np.asarray(st["hist_edges"]).tolist(),
             })
+            # TB histogram rebuilt from the jitted bucket stats (the raw
+            # leaf stays on device; only summaries cross the host boundary)
+            self._tb_tree_hist(f"{prefix}/{name}", st, step)
+
+    def _tb_tree_hist(self, tag: str, st: dict, step: int):
+        counts = np.asarray(st["hist_counts"], np.float64)
+        edges = np.asarray(st["hist_edges"], np.float64)
+        # approximate per-bucket midpoints as representative values so
+        # min/max/sum in the proto stay consistent with the real stats
+        self._tb._record_histogram_from_stats(
+            tag, step,
+            vmin=float(st["min"]), vmax=float(st["max"]),
+            num=float(counts.sum()),
+            mean=float(st["mean"]), std=float(st["std"]),
+            counts=counts, edges=edges)
 
     def flush(self):
         self._f.flush()
+        self._tb.flush()
 
     def close(self):
         self._f.close()
+        self._tb.close()
 
     # context manager support
     def __enter__(self):
