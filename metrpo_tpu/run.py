@@ -135,7 +135,7 @@ def main(argv=None):
             cfg, policy_opt_params=dataclasses.replace(
                 cfg.policy_opt_params, max_iters=1))
 
-    from metrpo_tpu.train import train
+    from metrpo_tpu.train import maybe_extend_sweeps, train
     import dataclasses
     import contextlib
 
@@ -148,8 +148,14 @@ def main(argv=None):
     with profile_cm:
         for i in range(args.n):
             seed_cfg = dataclasses.replace(cfg, seed=args.seed + i)
-            train(seed_cfg, snapshot_dir=args.snapshot_dir,
-                  sweep_iters=args.sweeps, resume=args.resume)
+            trainer = train(seed_cfg, snapshot_dir=args.snapshot_dir,
+                            sweep_iters=args.sweeps, resume=args.resume)
+            # "run 5 more sweeps?" loop (model_based_rl.py:739-749);
+            # only when a human is attached and for a single-seed run
+            maybe_extend_sweeps(
+                trainer,
+                interactive=(args.n == 1 and not args.yes
+                             and sys.stdin.isatty()))
 
 
 if __name__ == "__main__":

@@ -57,3 +57,25 @@ def train(cfg: ExperimentConfig,
     n = max(n - trainer.count, 0)
     trainer.train(sweep_iters=n)
     return trainer
+
+
+def maybe_extend_sweeps(trainer, interactive: bool, chunk: int = 5,
+                        input_fn=input) -> int:
+    """Interactive sweep extension: after training completes, offer to keep
+    going in ``chunk``-sweep increments (reference parity:
+    ``model_based_rl.py:739-749`` asks "Do you want to continue training
+    the policy?" after the sweep budget is spent). Non-interactive runs
+    (scripts, fleets, CI) skip the prompt; ``-resume`` with a larger
+    ``-sweeps`` covers the same need offline. Returns extra sweeps run."""
+    extra = 0
+    while interactive:
+        try:
+            ans = input_fn(f"Training done after {trainer.count} sweeps. "
+                           f"Run {chunk} more? [y/N] ")
+        except EOFError:
+            break
+        if ans.strip().lower() not in ("y", "yes"):
+            break
+        trainer.train(sweep_iters=chunk)
+        extra += chunk
+    return extra

@@ -1,0 +1,95 @@
+"""Sample-efficiency comparator: ME-TRPO vs model-free TRPO on point2D.
+
+Backs BASELINE.md row 1 (the reference README's headline claim, README.md:4:
+"same final performance with 100x less data" vs model-free RL, arXiv
+1802.10592). Both sides use the SAME policy network, TRPO update program and
+real environment; the only difference is whether gradients come from imagined
+ensemble rollouts (ME-TRPO) or raw real-env batches (model-free,
+batch_polopt.py:145-235 analog in metrpo_tpu/model_free.py).
+
+CPU-only (point2D is a 2-D linear system; see CLAUDE.md TPU-exclusivity note).
+Writes results_sample_efficiency.csv and prints a summary table.
+"""
+
+import os
+import sys
+import time
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from metrpo_tpu.config import load_config
+from metrpo_tpu.envs.point2d import Point2DEnv
+from metrpo_tpu.model_free import train_model_free
+from metrpo_tpu.orchestrator import Trainer
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+OUT = os.path.join(REPO, "results_sample_efficiency.csv")
+
+MB_SWEEPS = 6                # ME-TRPO: 6 sweeps x 500 real steps = 3k steps
+MF_ITERS = 60                # model-free: 60 iters x 5000 steps = 300k steps
+MF_BATCH = 5000              # = 100x the ME-TRPO real-data budget
+
+
+def run_me_trpo():
+    cfg = load_config(os.path.join(REPO, "params/params-point2D.json"),
+                      overrides={"algo": "trpo", "sweep_iters": MB_SWEEPS})
+    np.random.seed(0)
+    trainer = Trainer(cfg, Point2DEnv(), Point2DEnv, snapshot_dir=None)
+    rows = []
+    for r in trainer.train(sweep_iters=MB_SWEEPS):
+        steps = r["sweep"] * cfg.sample_size
+        rows.append(("me-trpo", r["sweep"], steps,
+                     -float(r["real_current_validation_cost"])))
+        print(f"[me-trpo] sweep {r['sweep']} real_steps {steps} "
+              f"return {rows[-1][3]:.2f}", flush=True)
+    return rows
+
+
+def run_model_free():
+    env = Point2DEnv()
+    _, curve = train_model_free(
+        env, Point2DEnv, policy_cfg={"hidden_layers": [32, 32]},
+        algo="trpo", n_itr=MF_ITERS, batch_size=MF_BATCH,
+        max_path_length=10, discount=1.0, seed=0)
+    rows = []
+    for itr, ret in enumerate(curve):
+        rows.append(("model-free-trpo", itr + 1, (itr + 1) * MF_BATCH,
+                     float(ret)))
+    print(f"[model-free] first {curve[0]:.2f} best {max(curve):.2f} "
+          f"final {curve[-1]:.2f}", flush=True)
+    return rows
+
+
+def main():
+    t0 = time.time()
+    mb = run_me_trpo()
+    mf = run_model_free()
+    with open(OUT, "w") as f:
+        f.write("method,iteration,real_env_steps,avg_return\n")
+        for row in mb + mf:
+            f.write(",".join(str(x) for x in row) + "\n")
+
+    mb_final = mb[-1][3]
+    mb_steps = mb[-1][2]
+    # first model-free iteration whose return reaches the ME-TRPO final
+    reach = next((r for r in mf if r[3] >= mb_final), None)
+    print("\n=== sample-efficiency summary ===")
+    print(f"ME-TRPO: return {mb_final:.2f} after {mb_steps} real steps")
+    if reach:
+        print(f"model-free TRPO reaches {reach[3]:.2f} after {reach[2]} real "
+              f"steps -> {reach[2] / mb_steps:.0f}x more data")
+    else:
+        print(f"model-free TRPO never reaches {mb_final:.2f} within "
+              f"{mf[-1][2]} real steps (best {max(r[3] for r in mf):.2f}) "
+              f"-> >{mf[-1][2] / mb_steps:.0f}x more data needed")
+    print(f"wrote {OUT} ({time.time() - t0:.0f}s)")
+
+
+if __name__ == "__main__":
+    main()

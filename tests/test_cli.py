@@ -78,3 +78,41 @@ def test_parallel_seed_fleet(tmp_path):
         windows[seed] = (start, end)
     (s0, e0), (s1, e1) = windows[0], windows[1]
     assert s0 < e1 and s1 < e0, f"seed runs did not overlap: {windows}"
+
+
+def test_interactive_sweep_extension(tmp_path):
+    """'Run 5 more sweeps?' prompt after training completes
+    (model_based_rl.py:739-749): yes extends by the chunk and keeps the
+    trainer state (count, replay) continuous; anything else stops."""
+    from metrpo_tpu.config import config_from_dict
+    from metrpo_tpu.envs.point2d import Point2DEnv
+    from metrpo_tpu.orchestrator import Trainer
+    from metrpo_tpu.train import maybe_extend_sweeps
+    from tests.test_e2e_point2d import POINT2D_TINY
+
+    cfg = config_from_dict(dict(POINT2D_TINY))
+    trainer = Trainer(cfg, Point2DEnv(), Point2DEnv,
+                      snapshot_dir=str(tmp_path))
+    trainer.train(sweep_iters=1)
+    assert trainer.count == 1
+
+    answers = iter(["y", "no"])
+    prompts = []
+
+    def fake_input(msg):
+        prompts.append(msg)
+        return next(answers)
+
+    extra = maybe_extend_sweeps(trainer, interactive=True, chunk=2,
+                                input_fn=fake_input)
+    assert extra == 2
+    assert trainer.count == 3
+    assert len(prompts) == 2 and "Run 2 more?" in prompts[0]
+    # non-interactive: never prompts
+    assert maybe_extend_sweeps(trainer, interactive=False,
+                               input_fn=fake_input) == 0
+    # EOF (piped stdin) stops cleanly
+    def eof_input(msg):
+        raise EOFError
+    assert maybe_extend_sweeps(trainer, interactive=True,
+                               input_fn=eof_input) == 0
