@@ -158,24 +158,31 @@ def _rollout_kernel(spec: RolloutSpec,
         x_n = ((x_rolled - norm_ref[0]) * norm_ref[1]).astype(jnp.bfloat16)
         a_n = ((a_rolled - anorm_ref[0]) * anorm_ref[1]).astype(jnp.bfloat16)
 
-        # ---- K dynamics members, one block each (bf16 matmuls) ----
+        # ---- K dynamics members in ONE batched matmul per layer ----
+        # The serial per-member chain left the MXU idle between 128-row
+        # matmuls (round-1 bench: 6.35M vs the scan's 9.06M steps/s).
+        # A K-batch dot_general gives Mosaic K independent tiles per
+        # layer to pipeline, so the systolic array stays fed.
         diff_mean = norm_ref[2]
         diff_std = norm_ref[3]
-        for m in range(K):
-            xr = x_n[m * BLK: (m + 1) * BLK]
-            ar = a_n[m * BLK: (m + 1) * BLK]
-            pre1 = (jnp.dot(xr, w1s_ref[m], preferred_element_type=jnp.float32)
-                    + jnp.dot(ar, w1a_ref[m], preferred_element_type=jnp.float32)
-                    + db_ref[m, 0])
-            h1 = jnp.maximum(pre1, 0.0).astype(jnp.bfloat16)
-            h2 = jnp.maximum(
-                jnp.dot(h1, w2_ref[m], preferred_element_type=jnp.float32)
-                + db_ref[m, 1], 0.0).astype(jnp.bfloat16)
-            out = jnp.dot(h2, w3_ref[m],
-                          preferred_element_type=jnp.float32) + db3_ref[m, 0]
-            nxt_ref[m * BLK: (m + 1) * BLK] = (
-                diff_mean + diff_std * out
-                + x_rolled[m * BLK: (m + 1) * BLK])
+        bdims = (((2,), (1,)), ((0,), (0,)))  # (K,BLK,I) @ (K,I,O)
+        xb = x_n.reshape(K, BLK, x_n.shape[1])
+        ab = a_n.reshape(K, BLK, a_n.shape[1])
+        pre1 = (jax.lax.dot_general(xb, w1s_ref[:], bdims,
+                                    preferred_element_type=jnp.float32)
+                + jax.lax.dot_general(ab, w1a_ref[:], bdims,
+                                      preferred_element_type=jnp.float32)
+                + db_ref[:, 0:1, :])
+        h1 = jnp.maximum(pre1, 0.0).astype(jnp.bfloat16)
+        h2 = jnp.maximum(
+            jax.lax.dot_general(h1, w2_ref[:], bdims,
+                                preferred_element_type=jnp.float32)
+            + db_ref[:, 1:2, :], 0.0).astype(jnp.bfloat16)
+        out = (jax.lax.dot_general(h2, w3_ref[:], bdims,
+                                   preferred_element_type=jnp.float32)
+               + db3_ref[:, 0:1, :])
+        nxt_ref[:] = (diff_mean + diff_std * out.reshape(B, out.shape[2])
+                      + x_rolled)
 
         x_next = pltpu.roll(nxt_ref[:], -shift, 0)    # un-roll particle order
         slane = jax.lax.broadcasted_iota(jnp.int32, x_next.shape, 1)
