@@ -85,6 +85,11 @@ def test_orchestrator_tf_summary_gate(tmp_path):
     assert "training_policy/weight_update" in train_tags
     assert "training_dynamics/validation_losses" in val_tags
     assert "real_current_validation_cost" in val_tags
+    # both sinks: TensorBoard event files exist alongside the JSONL
+    import glob
+    for sub in ("train", "val"):
+        assert glob.glob(str(tmp_path / "tf_logs" / sub /
+                             "events.out.tfevents.*")), sub
     # default-off: no tf_logs dir is created
     raw2 = dict(POINT2D_TINY)
     cfg2 = config_from_dict(raw2)
