@@ -23,7 +23,7 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from metrpo_tpu.config import load_config
+from metrpo_tpu.config import PolicyModelParams, load_config
 from metrpo_tpu.envs.point2d import Point2DEnv
 from metrpo_tpu.model_free import train_model_free
 from metrpo_tpu.orchestrator import Trainer
@@ -54,7 +54,7 @@ def run_me_trpo():
 def run_model_free():
     env = Point2DEnv()
     _, curve = train_model_free(
-        env, Point2DEnv, policy_cfg={"hidden_layers": [32, 32]},
+        env, Point2DEnv, PolicyModelParams(hidden_layers=(32, 32)),
         algo="trpo", n_itr=MF_ITERS, batch_size=MF_BATCH,
         max_path_length=10, discount=1.0, seed=0)
     rows = []
