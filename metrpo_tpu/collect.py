@@ -40,19 +40,10 @@ def make_act_batch_fn(policy: GaussianMLPPolicy, prefer_cpu: bool = False):
     ``prefer_cpu=True`` pins the per-step forward to the host CPU backend
     (see evaluate.make_act_fn): real-env stepping is a host loop, and a
     tunnel round trip per step would dominate the tiny policy MLP."""
-    cpu = None
-    if prefer_cpu:
-        from metrpo_tpu.evaluate import host_cpu_device
-        cpu = host_cpu_device()
-
-    @jax.jit
-    def act_batch(param_stack, obs):
-        return jax.vmap(lambda p, o: policy.mean(p, o))(param_stack, obs)
-
-    act_batch_out = lambda ps, o: act_batch(ps, o)
-    act_batch_out.prepare = (lambda t: jax.device_put(t, cpu)) if cpu is not None \
-        else (lambda t: t)
-    return act_batch_out
+    from metrpo_tpu.evaluate import make_pinned_fn
+    return make_pinned_fn(
+        lambda ps, o: jax.vmap(lambda p, ob: policy.mean(p, ob))(ps, o),
+        prefer_cpu=prefer_cpu)
 
 
 class CollectInfo(NamedTuple):

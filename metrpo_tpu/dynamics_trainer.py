@@ -209,6 +209,12 @@ class DynamicsTrainer:
                 # fit); minibatch gathers stay device-local
                 data_x = replicate_tree(self.mesh, data_x)
                 data_y = replicate_tree(self.mesh, data_y)
+            else:
+                # single device: still upload ONCE per fit — numpy operands
+                # would re-transfer the whole snapshot (tens of MB over the
+                # tunnel) on every chunk call
+                data_x = jnp.asarray(data_x)
+                data_y = jnp.asarray(data_y)
 
         recover_indices = np.zeros(K)
         refine_idx = -1

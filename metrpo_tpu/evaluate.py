@@ -35,29 +35,35 @@ def host_cpu_device():
         return None
 
 
-def make_act_fn(policy: GaussianMLPPolicy, prefer_cpu: bool = False):
-    """One jitted deterministic-act function to share across all host-side
-    eval/collect loops.  (Constructing jax.jit(lambda...) inside each call
-    would recompile on EVERY invocation — the jit cache is keyed by
-    function identity.)
+def make_pinned_fn(fn, prefer_cpu: bool = False):
+    """ONE cached jit of ``fn``, optionally pinned to the host CPU backend,
+    for host-side per-step loops (eval, collect, model-free).
 
-    ``prefer_cpu=True`` pins the computation to the host CPU backend: the
-    policy is a tiny 32x32 MLP while the accelerator may sit behind a
-    network tunnel, so a host-stepped env loop (one act per env step) is
-    dominated by dispatch round-trip latency, not compute.  The returned
-    fn exposes ``.prepare(params)`` to move the params to the target
-    device ONCE per rollout instead of once per step."""
+    Constructing ``jax.jit(lambda...)`` inside a loop would recompile on
+    EVERY invocation — the jit cache is keyed by function identity.
+    ``prefer_cpu=True`` targets the host CPU: the policy is a tiny 32x32
+    MLP while the accelerator may sit behind a network tunnel, so a
+    host-stepped env loop (one forward per env step) is dominated by
+    dispatch round-trip latency, not compute. The returned fn exposes
+    ``.prepare(params)`` to move the params to the target device ONCE per
+    rollout instead of once per step (jit dispatches on the committed
+    device of its arguments)."""
     cpu = host_cpu_device() if prefer_cpu else None
-    jfn = jax.jit(lambda p, o: policy.act(p, o, clip=True))
+    jfn = jax.jit(fn)
 
-    def act(params, obs):
-        return jfn(params, obs)
+    def wrapped(*args):
+        return jfn(*args)
 
-    if cpu is not None:
-        act.prepare = lambda p: jax.device_put(p, cpu)
-    else:
-        act.prepare = lambda p: p
-    return act
+    wrapped.prepare = (lambda t: jax.device_put(t, cpu)) if cpu is not None \
+        else (lambda t: t)
+    return wrapped
+
+
+def make_act_fn(policy: GaussianMLPPolicy, prefer_cpu: bool = False):
+    """Shared jitted deterministic-act fn for host-side eval/collect loops
+    (see make_pinned_fn for the caching/pinning rationale)."""
+    return make_pinned_fn(lambda p, o: policy.act(p, o, clip=True),
+                          prefer_cpu=prefer_cpu)
 
 
 def evaluate_fixed_init_trajectories(env: HostEnv,

@@ -30,18 +30,10 @@ from metrpo_tpu.utils.tabular import TabularLogger
 def make_mean_fn(policy: GaussianMLPPolicy):
     """ONE cached jitted policy-mean fn, pinned to the host CPU backend
     when available (the per-step real-env loop is round-trip bound; see
-    evaluate.make_act_fn). A fresh ``jax.jit(policy.dist)`` per step would
-    re-trace every call — the jit cache is keyed on function identity."""
-    from metrpo_tpu.evaluate import host_cpu_device
-    cpu = host_cpu_device()
-    jfn = jax.jit(lambda p, o: policy.dist(p, o)[0])
-
-    def mean_fn(params, obs):
-        return jfn(params, obs)
-
-    mean_fn.prepare = (lambda t: jax.device_put(t, cpu)) if cpu is not None \
-        else (lambda t: t)
-    return mean_fn
+    evaluate.make_pinned_fn)."""
+    from metrpo_tpu.evaluate import make_pinned_fn
+    return make_pinned_fn(lambda p, o: policy.dist(p, o)[0],
+                          prefer_cpu=True)
 
 
 def collect_real_batch(env_pool: VecHostEnv, policy: GaussianMLPPolicy,

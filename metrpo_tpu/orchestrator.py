@@ -362,7 +362,12 @@ class Trainer:
         if cfg.algo in ("trpo", "npg"):
             for k in ("kl", "surrogate_improvement", "step_accept_rate",
                       "backtracks", "entropy", "imagined_mean_return"):
-                self.tabular.record(f"trpo_{k}", float(last_stats.get(k, 0.0)))
+                # NaN (not 0.0) when no stats were collected this sweep —
+                # e.g. the non-fused pallas loop — so a missing-stats run
+                # is distinguishable from a stalled optimizer
+                self.tabular.record(
+                    f"trpo_{k}",
+                    float(last_stats[k]) if k in last_stats else float("nan"))
         votes = pol_logs.get("vote_fraction_worse") or []
         est_votes = [v.get("estimated", 0.0) for v in votes]
         self.tabular.record("vote_frac_worse_last",

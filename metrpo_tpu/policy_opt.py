@@ -479,12 +479,15 @@ class PolicyOptimizer:
                     {k: round(v, 2) for k, v in votes.items()}, extra)
 
             done = is_done(pop, min_costs, candidates, logger)
-            if self.algo_name == "svg" or not done:
+            accepted = self.algo_name == "svg" or not done
+            if accepted:
                 best_index = j
                 real_current = candidates["real"]
                 best_params = policy_params
                 update_stats(min_costs, candidates, pop.whole)
-            if done:
+            else:
+                # only count evals whose params were actually discarded
+                # (svg accepts even when the vote says stop)
                 n_rejected += 1
             return done, key
 

@@ -63,6 +63,14 @@ def build_parser() -> argparse.ArgumentParser:
 def _launch_seed_fleet(args, argv) -> int:
     """Spawn one subprocess per seed and wait (fleet parallelism)."""
     import subprocess
+    if args.platform is None:
+        # N children sharing one exclusive accelerator deadlock silently;
+        # require an explicit platform choice so the hazard is opt-in
+        # (e.g. '-platform cpu', or '-platform tpu' on a pod slice where
+        # each process owns its own chips).
+        sys.exit("-parallel needs -platform: N concurrent processes on a "
+                 "single exclusive accelerator deadlock. Use '-platform "
+                 "cpu' or run one process per device slice.")
     base_dir = args.snapshot_dir
     procs = []
     for i in range(args.n):
@@ -81,6 +89,9 @@ def _launch_seed_fleet(args, argv) -> int:
             child += ["-platform", args.platform]
         if args.resume:
             child += ["-resume"]
+        if args.profile:
+            # per-seed trace dirs; the parent never profiles in fleet mode
+            child += ["-profile", os.path.join(args.profile, f"seed_{seed}")]
         if base_dir:
             child += ["-snapshot-dir", os.path.join(base_dir, f"seed_{seed}")]
         procs.append((seed, subprocess.Popen(child)))
