@@ -1,33 +1,59 @@
-"""Scaling harness: run the sharded full ME-TRPO train step on meshes of
-1..N devices and report weak-scaling efficiency (imagined steps/s per
-device with per-device work held constant).
+"""Scaling harness: the PRODUCTION fused policy-opt program (rollout +
+TRPO natural-gradient update, PolicyOptimizer._advance_chunk — the same
+jitted program ``python -m metrpo_tpu.run`` executes every iteration) on
+meshes of 1..N devices, reporting weak-scaling efficiency (imagined
+steps/s per device, per-device work held constant).
 
 On a real pod slice this measures the BASELINE.json multi-host target
-(>=80% efficiency 1 -> N hosts). On the single-chip dev box it can run
-against N virtual CPU devices to validate the harness:
+(>=80% efficiency 1 -> N hosts):
 
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+    python scripts/bench_scaling.py --platform default
+
+On the single-chip dev box the DEFAULT is N virtual CPU devices (the
+JAX_PLATFORMS env var is overridden by the image's sitecustomize, so the
+platform must be forced in-process before first jax use — and running on
+the tunneled exclusive chip would contend with any live training job):
+
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
         python scripts/bench_scaling.py
 """
 
+import argparse
 import json
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
+_ap = argparse.ArgumentParser()
+_ap.add_argument("--platform", default="cpu",
+                 help="'cpu' (default, safe) or 'default' for the real "
+                      "accelerator backend")
+_ARGS = _ap.parse_args()
+
 import jax
-import jax.numpy as jnp
+
+if _ARGS.platform != "default":
+    jax.config.update("jax_platforms", _ARGS.platform)
+
 import numpy as np
 
 
-def run_at(n_devices: int, per_dev_particles: int = 64, T: int = 20):
+class _CheetahCostEnv:
+    """Minimal AnalyticEnv surface PolicyOptimizer needs (cost only)."""
+    has_analytic_done = False
+
+    def __init__(self, cost):
+        self.cost = cost
+
+
+def run_at(n_devices: int, per_dev_particles: int = 64, T: int = 25,
+           dyn_hidden=(256, 256), iters_per_chunk: int = 2,
+           reps: int = 3):
     import __graft_entry__ as g
     from metrpo_tpu.config import PolicyOptParams, TrpoParams
-    from metrpo_tpu.parallel.mesh import (data_sharding,
-                                          ensemble_batch_sharding, make_mesh,
-                                          replicate_tree, shard_tree_ensemble)
-    from metrpo_tpu.parallel.training import make_multichip_train_step
+    from metrpo_tpu.parallel.mesh import make_mesh, shard_tree_ensemble
+    from metrpo_tpu.policy_opt import PolicyOptimizer
 
     n_ens = 2 if n_devices % 2 == 0 else 1
     n_models = max(2 * n_ens, 2)
@@ -35,59 +61,58 @@ def run_at(n_devices: int, per_dev_particles: int = 64, T: int = 20):
     mesh = make_mesh(n_devices // n_ens, n_ens, devices=devices)
 
     policy, ensemble, pp, ep, in_stats, diff_stats = g._build(
-        n_models=n_models, dyn_hidden=(256, 256), pol_hidden=(32, 32))
+        n_models=n_models, dyn_hidden=dyn_hidden, pol_hidden=(32, 32))
     B = per_dev_particles * n_devices
-    pop = PolicyOptParams(T=T, oracle_maxtimestep=T, batch_size=B,
-                          trpo=TrpoParams(batch_size=B * T, cg_iters=5))
-    step, dyn_opt = make_multichip_train_step(
-        policy, ensemble, g._cheetah_cost, pop, mesh)
+    pop = PolicyOptParams(
+        T=T, oracle_maxtimestep=T, batch_size=B, max_iters=iters_per_chunk,
+        log_every=iters_per_chunk, sam_mode="step_rand",
+        trpo=TrpoParams(batch_size=B * T, cg_iters=8, discount=1.0))
 
     rng = np.random.default_rng(0)
-    D = g.CHEETAH_OBS + g.CHEETAH_ACT
+    sample_inits = lambda n: rng.normal(
+        size=(n, g.CHEETAH_OBS)).astype(np.float32) * 0.1
+
+    opt = PolicyOptimizer(
+        "trpo", policy, ensemble, _CheetahCostEnv(g._cheetah_cost), pop,
+        sample_init_states=sample_inits, oracle_eval=lambda p: 0.0,
+        mesh=mesh)
+
     with mesh:
         ep_s = shard_tree_ensemble(mesh, ep)
-        opt_state = dyn_opt.init(ep_s)
-        dyn_x = jax.device_put(
-            rng.normal(size=(n_models, 8 * (n_devices // n_ens), D)
-                       ).astype(np.float32), ensemble_batch_sharding(mesh))
-        dyn_y = jax.device_put(
-            rng.normal(size=(n_models, 8 * (n_devices // n_ens),
-                             g.CHEETAH_OBS)).astype(np.float32),
-            ensemble_batch_sharding(mesh))
-        inits = jax.device_put(
-            rng.normal(size=(B, g.CHEETAH_OBS)).astype(np.float32),
-            data_sharding(mesh))
-        args = (replicate_tree(mesh, pp), ep_s, opt_state, dyn_x, dyn_y,
-                replicate_tree(mesh, in_stats),
-                replicate_tree(mesh, diff_stats), inits,
-                jax.random.PRNGKey(0))
-        out = step(*args)
-        jax.block_until_ready(out[:3])
+        key = jax.random.PRNGKey(0)
+        # warmup (compile)
+        params, opt_state = pp, None
+        params, opt_state, _, _ = opt._advance_chunk(
+            params, opt_state, ep_s, in_stats, diff_stats, key,
+            iters_per_chunk)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
         t0 = time.perf_counter()
-        for _ in range(5):
-            out = step(*args)
-        jax.block_until_ready(out[:3])
-        dt = (time.perf_counter() - t0) / 5
-    return B * T / dt, dt
+        for r in range(reps):
+            key = jax.random.fold_in(key, r)
+            params, opt_state, cost, _ = opt._advance_chunk(
+                params, opt_state, ep_s, in_stats, diff_stats, key,
+                iters_per_chunk)
+        jax.block_until_ready(jax.tree_util.tree_leaves(params)[0])
+        dt = (time.perf_counter() - t0) / reps
+    steps = B * T * iters_per_chunk
+    return {"devices": n_devices, "mesh": dict(mesh.shape),
+            "particles": B, "steps_per_s": steps / dt,
+            "steps_per_s_per_device": steps / dt / n_devices,
+            "chunk_s": dt}
 
 
 def main():
-    n_total = len(jax.devices())
-    sizes = [n for n in (1, 2, 4, 8, 16, 32) if n <= n_total]
-    results = {}
-    base_per_dev = None
-    for n in sizes:
-        steps_s, dt = run_at(n)
-        per_dev = steps_s / n
-        if base_per_dev is None:
-            base_per_dev = per_dev
-        results[n] = {
-            "steps_per_sec": round(steps_s, 1),
-            "per_device": round(per_dev, 1),
-            "efficiency": round(per_dev / base_per_dev, 3),
-            "step_time_s": round(dt, 4),
-        }
-        print(json.dumps({"devices": n, **results[n]}))
+    n_avail = len(jax.devices())
+    sizes = [n for n in (1, 2, 4, 8, 16) if n <= n_avail]
+    results = [run_at(n) for n in sizes]
+    base = results[0]["steps_per_s_per_device"]
+    for r in results:
+        r["weak_scaling_efficiency"] = r["steps_per_s_per_device"] / base
+    print(json.dumps(results, indent=2, default=float))
+    if len(results) > 1:
+        eff = results[-1]["weak_scaling_efficiency"]
+        print(f"# weak-scaling efficiency 1 -> {results[-1]['devices']} "
+              f"devices: {eff:.2%} (target >= 80%)")
 
 
 if __name__ == "__main__":
