@@ -144,6 +144,14 @@ class JaxEnv(AnalyticEnv):
         raise NotImplementedError
 
 
+def _pre_step_is_noop(cls) -> bool:
+    """True if ``cls`` inherits the base no-op ``pre_step`` (a custom
+    pre-physics hook — e.g. manipulation envs capturing pre-step state —
+    must take the per-env python path)."""
+    from metrpo_tpu.envs.mujoco.host_env import MujocoHostEnv
+    return getattr(cls, "pre_step", None) is MujocoHostEnv.pre_step
+
+
 class VecHostEnv:
     """Batch of host envs stepped together (reference env_helpers.py:456-472).
 
@@ -161,6 +169,7 @@ class VecHostEnv:
     def __init__(self, envs, native: bool = True):
         self.envs = list(envs)
         self._native = None
+        self._batch_post = None
         if native and self.envs and all(
                 hasattr(e, "model") and hasattr(e, "data") and
                 callable(getattr(e, "post_step", None)) for e in self.envs):
@@ -170,6 +179,17 @@ class VecHostEnv:
                     self._native = NativeStepper(self.envs)
             except Exception:  # noqa: BLE001 — any failure => serial path
                 self._native = None
+        if self._native is not None:
+            # fully-batched post_step: the C++ workers extract
+            # (qpos, qvel, com, comvel) rows and the env class computes
+            # obs/reward/done vectorized over the whole batch — no per-env
+            # python in the hot loop. Requires a homogeneous pool, a
+            # batch_post_step impl, and no pre_step hook.
+            e0 = self.envs[0]
+            if (callable(getattr(e0, "batch_post_step", None))
+                    and all(type(e) is type(e0) for e in self.envs)
+                    and _pre_step_is_noop(type(e0))):
+                self._batch_post = e0.batch_post_step
 
     def __len__(self):
         return len(self.envs)
@@ -186,6 +206,13 @@ class VecHostEnv:
 
     def step_batch(self, actions: np.ndarray):
         actions = np.asarray(actions)
+        if self._batch_post is not None:
+            # fully-batched path: C++ physics + state extraction, then ONE
+            # vectorized obs/reward/done computation for the whole pool
+            qpos, qvel, com, comvel = self._native.step_batch_extract(actions)
+            obs, rs, ds = self._batch_post(qpos, qvel, com, comvel, actions)
+            return (np.asarray(obs), np.asarray(rs), np.asarray(ds),
+                    tuple({} for _ in self.envs))
         if self._native is not None:
             for e, a in zip(self.envs, actions):
                 e.pre_step(a)

@@ -46,6 +46,16 @@ class SwimmerEnv(MujocoHostEnv):
         reward = self.body_comvel()[0] - ctrl_cost
         return obs, float(reward), False, {}
 
+    def batch_post_step(self, qpos, qvel, com, comvel, actions):
+        """Vectorized post_step over native-extracted batch state
+        (envs/base.VecHostEnv fast path; same formulas as post_step)."""
+        obs = np.concatenate(
+            [com[:, :2], qpos[:, 2:5], comvel[:, :2], qvel[:, 2:5]], axis=1)
+        a = np.clip(actions, -1, 1)
+        reward = comvel[:, 0] - 0.5 * self.ctrl_cost_coeff * np.sum(
+            np.square(a), axis=1)
+        return obs, reward, np.zeros(len(obs), bool)
+
     def cost(self, x, u, x_next):
         # NOTE: reference swimmer cost uses mean over action dims while its
         # env reward uses 0.5*sum — the reference keeps that asymmetry only
@@ -83,6 +93,14 @@ class SnakeEnv(MujocoHostEnv):
         reward = self.body_comvel()[0] - ctrl_cost
         return obs, float(reward), False, {}
 
+    def batch_post_step(self, qpos, qvel, com, comvel, actions):
+        obs = np.concatenate(
+            [com[:, :2], qpos[:, 2:], comvel[:, :2], qvel[:, 2:]], axis=1)
+        a = np.clip(actions, -1, 1)
+        reward = comvel[:, 0] - 0.5 * self.ctrl_cost_coeff * np.sum(
+            np.square(a), axis=1)
+        return obs, reward, np.zeros(len(obs), bool)
+
     def cost(self, x, u, x_next):
         return -(x_next[:, self.FWD_IDX] -
                  0.5 * self.ctrl_cost_coeff * jnp.sum(jnp.square(u), axis=1))
@@ -114,6 +132,16 @@ class HalfCheetahEnv(MujocoHostEnv):
         ctrl_cost = self.ctrl_cost_coeff * 0.5 * np.sum(np.square(action))
         reward = float(np.clip(self.body_comvel()[0] - ctrl_cost, -10, 10))
         return obs, reward, False, {}
+
+    def batch_post_step(self, qpos, qvel, com, comvel, actions):
+        obs = np.concatenate(
+            [com[:, [0, 2]], qpos[:, 2:], comvel[:, [0, 2]], qvel[:, 2:]],
+            axis=1)
+        a = np.clip(actions, -1, 1)
+        reward = np.clip(
+            comvel[:, 0] - self.ctrl_cost_coeff * 0.5 * np.sum(
+                np.square(a), axis=1), -10, 10)
+        return obs, reward, np.zeros(len(obs), bool)
 
     def cost(self, x, u, x_next):
         return -jnp.clip(
@@ -151,6 +179,19 @@ class HopperEnv(MujocoHostEnv):
             10 * np.maximum(0.45 - height, 0) - \
             10 * np.maximum(abs(ang) - 0.2, 0)
         return obs, float(reward), False, {}
+
+    def batch_post_step(self, qpos, qvel, com, comvel, actions):
+        obs = np.concatenate(
+            [com[:, 2:3], qpos[:, 2:], comvel[:, [0, 2]], qvel[:, 2:]],
+            axis=1)
+        a = np.clip(actions, -1, 1)
+        vel, height, ang = obs[:, 5], obs[:, 0], obs[:, 1]
+        reward = vel - \
+            0.5 * self.ctrl_cost_coeff * np.sum(np.square(a), axis=1) - \
+            np.sum(np.maximum(np.abs(obs[:, 2:]) - 100, 0), axis=1) - \
+            10 * np.maximum(0.45 - height, 0) - \
+            10 * np.maximum(np.abs(ang) - 0.2, 0)
+        return obs, reward, np.zeros(len(obs), bool)
 
     def cost(self, x, u, x_next):
         vel = x_next[:, 5]
@@ -192,6 +233,16 @@ class AntEnv(MujocoHostEnv):
         obs = self.get_current_obs()
         notdone = np.isfinite(obs).all() and 0.2 <= com[2] <= 1.0
         return obs, float(reward), bool(not notdone), {}
+
+    def batch_post_step(self, qpos, qvel, com, comvel, actions):
+        obs = np.concatenate(
+            [com, qpos[:, 3:], comvel, qvel[:, 3:]], axis=1)
+        a = np.clip(actions, -1, 1)
+        reward = comvel[:, 0] - 0.5 * 1e-2 * np.sum(
+            np.square(a), axis=1) + 0.05
+        notdone = np.isfinite(obs).all(axis=1) & \
+            (com[:, 2] >= 0.2) & (com[:, 2] <= 1.0)
+        return obs, reward, ~notdone
 
     def cost(self, x, u, x_next):
         vel = x_next[:, 15]

@@ -86,6 +86,12 @@ def _load():
                 ctypes.c_int, i32p,
             ]
             lib.metrpo_step_batch.restype = None
+            lib.metrpo_step_batch_extract.argtypes = [
+                ctypes.c_void_p, u64p, u64p, ctypes.c_int, f64p,
+                ctypes.c_int, i32p, i32p, ctypes.c_int, ctypes.c_int,
+                f64p, f64p, f64p, f64p,
+            ]
+            lib.metrpo_step_batch_extract.restype = None
             lib.metrpo_mujoco_version.restype = ctypes.c_int
             lib.metrpo_mujoco_version()  # smoke: resolves libmujoco symbols
             _lib = lib
@@ -137,6 +143,35 @@ class NativeStepper:
         self._lib.metrpo_step_batch(
             self._pool, self._models, self._datas, len(self._envs), acts,
             self._nu, self._frame_skip)
+
+    def step_batch_extract(self, actions: np.ndarray):
+        """Step + batched state extraction: returns (qpos, qvel, com,
+        comvel) as (B, nq), (B, nv), (B, 3), (B, 3) float64 views into
+        buffers refreshed by the C++ workers (no per-env python MjData
+        access). Copy if retaining across steps."""
+        acts = np.ascontiguousarray(actions, dtype=np.float64)
+        B = len(self._envs)
+        if acts.shape != (B, self._nu):
+            raise ValueError(
+                f"actions shape {acts.shape} != {(B, self._nu)}")
+        if not hasattr(self, "_qpos_buf"):
+            e0 = self._envs[0]
+            nqs = {int(e.model.nq) for e in self._envs}
+            nvs = {int(e.model.nv) for e in self._envs}
+            if len(nqs) != 1 or len(nvs) != 1:
+                raise ValueError("heterogeneous state dims in pool")
+            self._nq, self._nv = nqs.pop(), nvs.pop()
+            self._torso_ids = np.array(
+                [getattr(e, "_torso_id", 0) for e in self._envs], np.int32)
+            self._qpos_buf = np.empty((B, self._nq), np.float64)
+            self._qvel_buf = np.empty((B, self._nv), np.float64)
+            self._com_buf = np.empty((B, 3), np.float64)
+            self._comvel_buf = np.empty((B, 3), np.float64)
+        self._lib.metrpo_step_batch_extract(
+            self._pool, self._models, self._datas, B, acts, self._nu,
+            self._frame_skip, self._torso_ids, self._nq, self._nv,
+            self._qpos_buf, self._qvel_buf, self._com_buf, self._comvel_buf)
+        return self._qpos_buf, self._qvel_buf, self._com_buf, self._comvel_buf
 
     def close(self):
         if getattr(self, "_pool", None):

@@ -68,7 +68,10 @@ class Pool {
   }
 
   void StepBatch(const uint64_t* models, uint64_t* datas, int batch,
-                 const double* actions, int nu, const int* frame_skip) {
+                 const double* actions, int nu, const int* frame_skip,
+                 const int* torso_ids = nullptr, int nq = 0, int nv = 0,
+                 double* qpos_out = nullptr, double* qvel_out = nullptr,
+                 double* com_out = nullptr, double* comvel_out = nullptr) {
     std::unique_lock<std::mutex> lock(mu_);
     models_ = models;
     datas_ = datas;
@@ -76,6 +79,13 @@ class Pool {
     frame_skip_ = frame_skip;
     batch_ = batch;
     nu_ = nu;
+    torso_ids_ = torso_ids;
+    nq_ = nq;
+    nv_ = nv;
+    qpos_out_ = qpos_out;
+    qvel_out_ = qvel_out;
+    com_out_ = com_out;
+    comvel_out_ = comvel_out;
     next_.store(0, std::memory_order_relaxed);
     remaining_ = batch;
     ++generation_;
@@ -97,9 +107,21 @@ class Pool {
       for (;;) {
         const int i = next_.fetch_add(1, std::memory_order_relaxed);
         if (i >= batch_) break;
-        StepOne(reinterpret_cast<const mjModel*>(models_[i]),
-                reinterpret_cast<mjData*>(datas_[i]), actions_ + i * nu_,
-                nu_, frame_skip_[i]);
+        mjData* d = reinterpret_cast<mjData*>(datas_[i]);
+        StepOne(reinterpret_cast<const mjModel*>(models_[i]), d,
+                actions_ + i * nu_, nu_, frame_skip_[i]);
+        if (qpos_out_ != nullptr) {
+          // batched state extraction: qpos/qvel plus the torso subtree COM
+          // and COM velocity — everything the locomotion envs' vectorized
+          // post_step needs, so no per-env python touches MjData at all.
+          for (int j = 0; j < nq_; ++j) qpos_out_[i * nq_ + j] = d->qpos[j];
+          for (int j = 0; j < nv_; ++j) qvel_out_[i * nv_ + j] = d->qvel[j];
+          const int t = torso_ids_[i];
+          for (int j = 0; j < 3; ++j) {
+            com_out_[3 * i + j] = d->subtree_com[3 * t + j];
+            comvel_out_[3 * i + j] = d->subtree_linvel[3 * t + j];
+          }
+        }
         ++completed;
       }
       if (completed > 0) {
@@ -118,8 +140,15 @@ class Pool {
   uint64_t* datas_ = nullptr;
   const double* actions_ = nullptr;
   const int* frame_skip_ = nullptr;
+  const int* torso_ids_ = nullptr;
   int batch_ = 0;
   int nu_ = 0;
+  int nq_ = 0;
+  int nv_ = 0;
+  double* qpos_out_ = nullptr;
+  double* qvel_out_ = nullptr;
+  double* com_out_ = nullptr;
+  double* comvel_out_ = nullptr;
   std::atomic<int> next_{0};
   int remaining_ = 0;
   uint64_t generation_ = 0;
@@ -141,6 +170,21 @@ void metrpo_step_batch(void* pool, const uint64_t* models, uint64_t* datas,
                        const int* frame_skip) {
   static_cast<Pool*>(pool)->StepBatch(models, datas, batch, actions, nu,
                                       frame_skip);
+}
+
+// Step + batched state extraction (qpos, qvel, torso subtree com/comvel)
+// into caller-provided row-major buffers: (batch, nq), (batch, nv),
+// (batch, 3), (batch, 3).
+void metrpo_step_batch_extract(void* pool, const uint64_t* models,
+                               uint64_t* datas, int batch,
+                               const double* actions, int nu,
+                               const int* frame_skip, const int* torso_ids,
+                               int nq, int nv, double* qpos_out,
+                               double* qvel_out, double* com_out,
+                               double* comvel_out) {
+  static_cast<Pool*>(pool)->StepBatch(models, datas, batch, actions, nu,
+                                      frame_skip, torso_ids, nq, nv, qpos_out,
+                                      qvel_out, com_out, comvel_out);
 }
 
 int metrpo_mujoco_version() { return mj_version(); }

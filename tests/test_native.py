@@ -32,7 +32,8 @@ def _rollout(env_name, native, states, actions):
 
 @pytest.mark.skipif(not native_available(),
                     reason=f"native stepper unavailable: {native_error()}")
-@pytest.mark.parametrize("env_name", ["swimmer", "ant", "reacher"])
+@pytest.mark.parametrize("env_name", ["swimmer", "snake", "half-cheetah",
+                                      "hopper", "ant", "reacher"])
 def test_native_matches_python_bitwise(env_name):
     n, horizon = 3, 12
     e0 = get_env(env_name, seed=0)
@@ -45,6 +46,12 @@ def test_native_matches_python_bitwise(env_name):
     pool_p, o2, r2, d2 = _rollout(env_name, False, states, actions)
 
     assert pool_n.native_active and not pool_p.native_active
+    # locomotion pools take the fully-batched C++-extraction post_step
+    # path; reacher (pre_step hook) must stay on the per-env python path
+    if env_name == "reacher":
+        assert pool_n._batch_post is None
+    else:
+        assert pool_n._batch_post is not None
     np.testing.assert_array_equal(o1, o2)
     np.testing.assert_array_equal(r1, r2)
     np.testing.assert_array_equal(d1, d2)
