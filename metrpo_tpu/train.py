@@ -49,6 +49,12 @@ def train(cfg: ExperimentConfig,
 
     if resume:
         ckpt = latest_checkpoint(trainer.log_dir, "policy-and-models")
+        if ckpt is None:
+            # replay-stripped snapshot committed to git for cross-machine
+            # resume (scripts/preserve_run.py); replay refills from the
+            # next collection sweeps
+            light = os.path.join(trainer.log_dir, "resume-light.ckpt")
+            ckpt = light if os.path.isfile(light) else None
         if ckpt:
             trainer.load_state_dict(load_checkpoint(ckpt))
             trainer.logger.info("Resumed from %s (sweep %d)", ckpt, trainer.count)

@@ -60,3 +60,24 @@ def test_checkpoint_roundtrip(tmp_path):
     # the restored trainer must be able to continue training
     res = fresh.run_sweep()
     assert np.isfinite(res["real_current_validation_cost"])
+
+
+def test_light_checkpoint_resume(tmp_path):
+    """A replay-stripped ckpt (scripts/preserve_run.py) resumes via
+    train()'s resume-light.ckpt fallback and keeps training — the
+    cross-machine git-preserved resume path."""
+    _, trainer = _run_one_sweep(11)
+    state = trainer.state_dict()
+    state.pop("replay", None)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    save_checkpoint(str(run_dir / "resume-light.ckpt"), state)
+
+    from metrpo_tpu.train import train
+    np.random.seed(11)
+    resumed = train(_tiny_cfg(), snapshot_dir=str(run_dir),
+                    sweep_iters=2, resume=True)
+    # resumed at sweep 1 from the light ckpt, ran 1 more sweep
+    assert resumed.count == 2
+    assert np.isfinite(resumed.learning_curve[-1]
+                       ["real_current_validation_cost"])
