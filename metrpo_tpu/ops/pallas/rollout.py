@@ -117,8 +117,14 @@ def _rollout_kernel(spec: RolloutSpec,
                     pb3_ref,                    # (8, A_PAD) rows: 0 b3, 1 logstd
                     w1s_ref, w1a_ref,           # (K, S_PAD, H), (K, A_PAD, H) bf16
                     w2_ref, w3_ref,             # (K, H, H), (K, H, S_PAD) bf16
-                    db_ref,                     # (K, 8, H) f32 rows 0,1 = b1,b2
-                    db3_ref,                    # (K, 8, S_PAD) f32 row 0 = b3
+                    # biases arrive pre-broadcast over the block dim: Mosaic
+                    # cannot sublane-broadcast a (K, 1, H) slice inside the
+                    # 3-D batched add (Check failed: limits[i] <= dim(i),
+                    # BLK/8 vs 1 — seen on hardware, invisible in interpret
+                    # mode), so the host packs full (K, BLK, .) arrays and
+                    # the kernel adds shape-to-shape
+                    db1_ref, db2_ref,           # (K, BLK, H) f32
+                    db3_ref,                    # (K, BLK, S_PAD) f32
                     norm_ref,                   # (8, S_PAD) f32 rows:
                     #  0 in_mean_s, 1 in_invstd_s, 2 diff_mean, 3 diff_std
                     anorm_ref,                  # (8, A_PAD) rows: 0 mean, 1 invstd
@@ -172,15 +178,15 @@ def _rollout_kernel(spec: RolloutSpec,
                                     preferred_element_type=jnp.float32)
                 + jax.lax.dot_general(ab, w1a_ref[:], bdims,
                                       preferred_element_type=jnp.float32)
-                + db_ref[:, 0:1, :])
+                + db1_ref[:])
         h1 = jnp.maximum(pre1, 0.0).astype(jnp.bfloat16)
         h2 = jnp.maximum(
             jax.lax.dot_general(h1, w2_ref[:], bdims,
                                 preferred_element_type=jnp.float32)
-            + db_ref[:, 1:2, :], 0.0).astype(jnp.bfloat16)
+            + db2_ref[:], 0.0).astype(jnp.bfloat16)
         out = (jax.lax.dot_general(h2, w3_ref[:], bdims,
                                    preferred_element_type=jnp.float32)
-               + db3_ref[:, 0:1, :])
+               + db3_ref[:])
         nxt_ref[:] = (diff_mean + diff_std * out.reshape(B, out.shape[2])
                       + x_rolled)
 
@@ -247,7 +253,7 @@ def build_resident_rollout(spec: RolloutSpec, interpret: bool = False):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(1,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 14,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)] * 4,
         scratch_shapes=[
             pltpu.VMEM((B, spec.s_pad), jnp.float32),
@@ -348,12 +354,15 @@ def pack_inputs(spec: RolloutSpec, policy_params: dict, ens_params: dict,
     w3 = np.zeros((K, H, spec.s_pad), np.float32)
     for k in range(K):
         w3[k, :, :S] = np.asarray(net["w"][2][k], np.float32)
-    db = np.zeros((K, 8, H), np.float32)
-    db3 = np.zeros((K, 8, spec.s_pad), np.float32)
+    # pre-broadcast biases over the block dim (see kernel docstring: Mosaic
+    # cannot sublane-broadcast (K, 1, .) inside the 3-D add on hardware)
+    db1 = np.zeros((K, spec.block, H), np.float32)
+    db2 = np.zeros((K, spec.block, H), np.float32)
+    db3 = np.zeros((K, spec.block, spec.s_pad), np.float32)
     for k in range(K):
-        db[k, 0] = np.asarray(net["b"][0][k], np.float32)
-        db[k, 1] = np.asarray(net["b"][1][k], np.float32)
-        db3[k, 0, :S] = np.asarray(net["b"][2][k], np.float32)
+        db1[k, :] = np.asarray(net["b"][0][k], np.float32)
+        db2[k, :] = np.asarray(net["b"][1][k], np.float32)
+        db3[k, :, :S] = np.asarray(net["b"][2][k], np.float32)
 
     norm = np.zeros((8, spec.s_pad), np.float32)
     anorm = np.zeros((8, spec.a_pad), np.float32)
@@ -376,4 +385,4 @@ def pack_inputs(spec: RolloutSpec, policy_params: dict, ens_params: dict,
             pw1, pw2, pw3, pb, pb3,
             jnp.asarray(w1s, jnp.bfloat16), jnp.asarray(w1a, jnp.bfloat16),
             jnp.asarray(w2, jnp.bfloat16), jnp.asarray(w3, jnp.bfloat16),
-            db, db3, norm, anorm)
+            db1, db2, db3, norm, anorm)
