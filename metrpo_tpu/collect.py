@@ -110,46 +110,52 @@ def collect_real_rollouts(env: HostEnv,
     policy_params = prepare(policy_params)
     key = prepare(key)
 
+    # Auto-reset batch (reference vectorized_sampler.py semantics): a done
+    # or length-T episode is finalized and its slot reset IMMEDIATELY, so
+    # every batched step yields n_envs transitions.  The previous
+    # round-structured loop idled dead slots until the whole batch died —
+    # ~4x wasted physics + policy forwards on early-is_done envs (ant:
+    # random-policy episodes last ~25 of T=100 steps).
+    key, k_perturb = jax.random.split(key)
+    param_stack, avg_wc = _perturbed_param_stack(
+        policy_params, diff_weights, exploration.param_noise, n_envs, k_perturb)
+    param_stack = prepare(param_stack)
+    perturbing = diff_weights is not None and exploration.param_noise > 0.0
+    obs = np.asarray(env_pool.reset_batch(), np.float32)
+    ep_obs = [[o] for o in obs]
+    ep_act = [[] for _ in range(n_envs)]
+    ep_rew = [[] for _ in range(n_envs)]
+    steps_in_ep = np.zeros(n_envs, dtype=np.int64)
+
     while total < sample_size:
-        key, k_perturb = jax.random.split(key)
-        param_stack, wc = _perturbed_param_stack(
-            policy_params, diff_weights, exploration.param_noise, n_envs, k_perturb)
-        avg_wc = wc
-        obs = env_pool.reset_batch()
-        ep_obs = [[o] for o in obs]
-        ep_act = [[] for _ in range(n_envs)]
-        ep_rew = [[] for _ in range(n_envs)]
-        alive = np.ones(n_envs, dtype=bool)
-        for t in range(max_timestep):
-            actions = np.asarray(act_batch(param_stack, np.asarray(obs, np.float32)))
-            if exploration.vary_trajectory_noise:
-                scale = np.random.uniform(size=(n_envs, 1))
-            else:
-                scale = 1.0
-            actions = actions + exploration.action_noise * scale * \
-                np.random.randn(*actions.shape)
-            actions = np.clip(actions, bounds_lo, bounds_hi)
-            next_obs, rewards, dones, _ = env_pool.step_batch(actions)
-            if check_invariants and env.has_analytic_done:
-                # done flag must match the analytic is_done (env_helpers.py:410-411)
-                analytic = env.is_done_np(obs, next_obs)
-                assert np.array_equal(dones[alive], analytic[alive]), \
-                    "env done disagrees with analytic is_done"
-            for i in range(n_envs):
-                if alive[i]:
-                    ep_obs[i].append(next_obs[i])
-                    ep_act[i].append(actions[i])
-                    ep_rew[i].append(float(rewards[i]))
-            alive &= ~np.asarray(dones, dtype=bool)
-            obs = next_obs
-            if not alive.any():
-                break
+        actions = np.asarray(act_batch(param_stack, obs))
+        if exploration.vary_trajectory_noise:
+            scale = np.random.uniform(size=(n_envs, 1))
+        else:
+            scale = 1.0
+        actions = actions + exploration.action_noise * scale * \
+            np.random.randn(*actions.shape)
+        actions = np.clip(actions, bounds_lo, bounds_hi)
+        next_obs, rewards, dones, _ = env_pool.step_batch(actions)
+        dones = np.asarray(dones, dtype=bool)
+        if check_invariants and env.has_analytic_done:
+            # done flag must match the analytic is_done (env_helpers.py:410-411)
+            analytic = env.is_done_np(obs, next_obs)
+            assert np.array_equal(dones, analytic), \
+                "env done disagrees with analytic is_done"
+        obs = np.asarray(next_obs, np.float32).copy()
+        finished = []
         for i in range(n_envs):
+            ep_obs[i].append(next_obs[i])
+            ep_act[i].append(actions[i])
+            ep_rew[i].append(float(rewards[i]))
+            steps_in_ep[i] += 1
+            if dones[i] or steps_in_ep[i] >= max_timestep:
+                finished.append(i)
+        for i in finished:
             o = np.asarray(ep_obs[i])
             a = np.asarray(ep_act[i])
             r = np.asarray(ep_rew[i])
-            if len(a) == 0:
-                continue
             if check_invariants:
                 # reward == -analytic cost per episode (env_helpers.py:422-431)
                 ep_cost = len(a) * env.cost_np(o[:-1], a, o[1:])
@@ -165,6 +171,24 @@ def collect_real_rollouts(env: HostEnv,
             if logger:
                 logger.info("%d steps, reward %.2f, avg_weight_change %.3f",
                             total, ep_r, avg_wc)
+            # respawn the slot: fresh episode, fresh per-episode perturbation
+            obs[i] = env_pool.envs[i].reset()
+            ep_obs[i] = [obs[i].copy()]
+            ep_act[i] = []
+            ep_rew[i] = []
+            steps_in_ep[i] = 0
+        if finished and perturbing:
+            key, k_perturb = jax.random.split(key)
+            fresh, avg_wc = _perturbed_param_stack(
+                policy_params, diff_weights, exploration.param_noise,
+                n_envs, k_perturb)
+            mask = np.zeros(n_envs, dtype=bool)
+            mask[finished] = True
+            param_stack = prepare(jax.tree_util.tree_map(
+                lambda old, new: jnp.where(
+                    jnp.asarray(mask).reshape((-1,) + (1,) * (new.ndim - 1)),
+                    new, old),
+                param_stack, fresh))
 
     info = CollectInfo(
         episodes=len(Os), timesteps=total,

@@ -51,9 +51,10 @@ def train(cfg: ExperimentConfig,
         ckpt = latest_checkpoint(trainer.log_dir, "policy-and-models")
         if ckpt is None:
             # replay-stripped snapshot committed to git for cross-machine
-            # resume (scripts/preserve_run.py); replay refills from the
-            # next collection sweeps
-            light = os.path.join(trainer.log_dir, "resume-light.ckpt")
+            # resume (scripts/preserve_run.py); lives at the snapshot-dir
+            # root because training_logs/ is gitignored. Replay refills
+            # from the next collection sweeps.
+            light = os.path.join(snapshot_dir, "resume-light.ckpt")
             ckpt = light if os.path.isfile(light) else None
         if ckpt:
             trainer.load_state_dict(load_checkpoint(ckpt))

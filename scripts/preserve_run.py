@@ -32,9 +32,10 @@ from metrpo_tpu.utils.checkpoint import (latest_checkpoint, load_checkpoint,
 
 
 def preserve(run_dir: str) -> None:
-    ckpt = latest_checkpoint(run_dir, "policy-and-models")
+    log_dir = os.path.join(run_dir, "training_logs")
+    ckpt = latest_checkpoint(log_dir, "policy-and-models")
     if ckpt is None:
-        final = os.path.join(run_dir, "policy-and-models-final.ckpt")
+        final = os.path.join(log_dir, "policy-and-models-final.ckpt")
         ckpt = final if os.path.isfile(final) else None
     if ckpt is None:
         print(f"{run_dir}: no checkpoint found (nothing to strip)")
