@@ -47,3 +47,33 @@ def test_collect_checks_ant_done_invariant():
     # longer than its action array
     for o, a in zip(Os, As):
         assert len(o) == len(a) + 1
+
+
+def test_collect_auto_reset_respawns_slots():
+    """Finished episodes must respawn immediately (auto-reset batch,
+    vectorized_sampler.py semantics): a 2-env pool still fills a large
+    sample budget, every episode is <= max_timestep, and short episodes
+    ended by a real done."""
+    pytest.importorskip("mujoco")
+    import jax
+    from metrpo_tpu.collect import collect_real_rollouts
+    from metrpo_tpu.config import ExplorationParams, PolicyModelParams
+    from metrpo_tpu.envs import get_env
+    from metrpo_tpu.envs.base import VecHostEnv
+    from metrpo_tpu.models.policy import GaussianMLPPolicy
+
+    np.random.seed(0)
+    env = get_env("ant")
+    pool = VecHostEnv([get_env("ant") for _ in range(2)])
+    pol = GaussianMLPPolicy.create(env.n_obs, env.n_actions, PolicyModelParams())
+    pp = pol.init(jax.random.PRNGKey(0))
+    Os, As, Rs, info = collect_real_rollouts(
+        env, pool, pol, pp, None,
+        ExplorationParams(action_noise=1.0), sample_size=120, max_timestep=10,
+        key=jax.random.PRNGKey(1), check_invariants=True)
+    assert info.timesteps >= 120
+    assert info.episodes >= 12  # 2 slots x >=6 respawn generations
+    for o, a in zip(Os, As):
+        assert 1 <= len(a) <= 10
+        if len(a) < 10:  # early end must be a genuine env done
+            assert env.is_done_np(o[-2][None], o[-1][None])[0]
