@@ -171,8 +171,6 @@ class PolicyOptParams:
     rollout_unroll: int = 2  # lax.scan unroll factor for the imagined sampler;
     #   2 lets XLA overlap step t+1's ensemble-weight HBM fetch with step t's
     #   compute (+20% steps/s on v5e at the B=500 headline workload)
-    use_pallas_rollout: bool = False  # VMEM-resident-weights rollout kernel
-    #   (velocity-cost envs with 2-hidden-layer nets only)
 
 
 @dataclass(frozen=True)
@@ -375,7 +373,6 @@ def config_from_dict(raw: dict) -> ExperimentConfig:
         sam_mode=pop_raw.get("sam_mode", "step_rand"),
         remat=bool(pop_raw.get("remat", False)),
         rollout_unroll=int(pop_raw.get("rollout_unroll", 2)),
-        use_pallas_rollout=bool(pop_raw.get("use_pallas_rollout", False)),
     )
 
     rp_raw = raw.get("rollout_params", {})

@@ -24,8 +24,8 @@ class SwimmerEnv(MujocoHostEnv):
 
     XML = "swimmer.xml"
     FRAME_SKIP = 4
-    # (vel_idx, ctrl_coeff, reward_clip) — enables the velocity-cost
-    # pallas rollout kernel (ops/pallas/rollout.py)
+    # (vel_idx, ctrl_coeff, reward_clip) — the env's cost is the
+    # velocity-minus-control form shared by this family
     velocity_cost_spec = (5, 0.5 * 1e-2, 0.0)
 
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-2):

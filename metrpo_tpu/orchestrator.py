@@ -362,9 +362,9 @@ class Trainer:
         if cfg.algo in ("trpo", "npg"):
             for k in ("kl", "surrogate_improvement", "step_accept_rate",
                       "backtracks", "entropy", "imagined_mean_return"):
-                # NaN (not 0.0) when no stats were collected this sweep —
-                # e.g. the non-fused pallas loop — so a missing-stats run
-                # is distinguishable from a stalled optimizer
+                # NaN (not 0.0) when no stats were collected this sweep,
+                # so a missing-stats run is distinguishable from a
+                # stalled optimizer
                 self.tabular.record(
                     f"trpo_{k}",
                     float(last_stats[k]) if k in last_stats else float("nan"))

@@ -187,34 +187,6 @@ class PolicyOptimizer:
             rollout_trajectories, policy, ensemble, cost_fn, is_done_fn),
             static_argnames=("T", "sam_mode", "deterministic", "unroll"))
 
-        # optional pallas resident-weights sampler (velocity-cost envs,
-        # 2-hidden-layer policy/dynamics nets; single-device only)
-        self._pallas = None
-        single_device = mesh is None or mesh.devices.size == 1
-        if pop.use_pallas_rollout and single_device \
-                and hasattr(env, "velocity_cost_spec") \
-                and env.n_goals == 0 \
-                and ensemble.prediction_type == "state_change" \
-                and not ensemble.use_logit_weights \
-                and len(policy.hidden_layers) == 2 \
-                and len(ensemble.hidden_layers) == 2 \
-                and ensemble.hidden_layers[0] == ensemble.hidden_layers[1] \
-                and policy.hidden_layers[0] == policy.hidden_layers[1] \
-                and algo_name in ("trpo", "npg", "vpg"):
-            from metrpo_tpu.ops.pallas.rollout import (RolloutSpec,
-                                                       build_resident_rollout)
-            vel_idx, ctrl_coeff, reward_clip = env.velocity_cost_spec
-            block = max((self.n_particles // ensemble.n_models) // 8 * 8, 8)
-            self._pallas_spec = RolloutSpec(
-                n_states=env.n_obs, n_actions=env.n_actions,
-                hidden=ensemble.hidden_layers[0],
-                n_models=ensemble.n_models, block=block, T=pop.T,
-                pol_hidden=policy.hidden_layers[0], vel_idx=vel_idx,
-                ctrl_coeff=ctrl_coeff, reward_clip=reward_clip)
-            self._pallas = build_resident_rollout(self._pallas_spec)
-            self.n_particles = self._pallas_spec.batch
-            self._pallas_seed = 0
-
         # jitted per-member estimated-cost evaluator (built ONCE: a fresh
         # jit per call would recompile the T-step program every eval)
         from metrpo_tpu.imagine import bptt_costs
@@ -314,15 +286,6 @@ class PolicyOptimizer:
             np.asarray(self.sample_init_states(self.n_particles), np.float32))
 
         def sample_batch(k):
-            if self._pallas is not None:
-                from metrpo_tpu.ops.pallas.rollout import (
-                    pack_inputs, rollout_to_imagined_batch)
-                self._pallas_seed += 1
-                packed = pack_inputs(self._pallas_spec, policy_params,
-                                     ens_params, input_stats, diff_stats,
-                                     inits, self._pallas_seed, k)
-                return rollout_to_imagined_batch(
-                    self._pallas_spec, policy_params, self._pallas(*packed))
             return self._rollout(policy_params, ens_params, input_stats,
                                  diff_stats, inits, T=pop.T, key=k,
                                  sam_mode=pop.sam_mode,
@@ -492,7 +455,7 @@ class PolicyOptimizer:
             return done, key
 
         j = 0
-        if self.algo_name in ("trpo", "npg", "vpg") and self._pallas is None:
+        if self.algo_name in ("trpo", "npg", "vpg"):
             # fused path: log_every iterations per device program, eval
             # between chunks — identical cadence to the reference's
             # j % log_every == 0 (trailing non-multiple iterations are

@@ -87,37 +87,3 @@ def test_bf16_dynamics_trains():
     best, logs = trainer.fit(params, data, val, ins, dfs,
                              jax.random.PRNGKey(1), reinitialize=True)
     assert logs["validation_losses"][-1] < logs["initial_validation_losses"][0] * 0.5
-
-
-def test_pallas_batch_adapter():
-    from metrpo_tpu.ops.pallas.rollout import (RolloutSpec,
-                                               build_resident_rollout,
-                                               pack_inputs,
-                                               rollout_to_imagined_batch)
-    env, pol, ens_, pp, ep_, ins, dfs = _swimmer_setup()
-    S, A, H, K = 18, 6, 32, 2
-    pol18 = GaussianMLPPolicy.create(S, A, PolicyModelParams())
-    pp18 = pol18.init(jax.random.PRNGKey(0))
-    ens = DynamicsEnsemble.create(S, A, 0, DynamicsModelParams(
-        hidden_layers=(H, H), nonlinearity=("relu", "relu")), K)
-    ep = ens.init(jax.random.PRNGKey(1))
-    D = S + A
-    ins = running_stats_update(running_stats_init(D), np.random.randn(50, D))
-    dfs = running_stats_update(running_stats_init(S), 0.1 * np.random.randn(50, S))
-    spec = RolloutSpec(n_states=S, n_actions=A, hidden=H, n_models=K,
-                       block=8, T=3, pol_hidden=32, vel_idx=5,
-                       ctrl_coeff=0.005, reward_clip=0.0)
-    call = build_resident_rollout(spec, interpret=True)
-    packed = pack_inputs(spec, pp18, ep, ins, dfs,
-                         np.random.randn(spec.batch, S).astype(np.float32),
-                         0, jax.random.PRNGKey(2))
-    batch = rollout_to_imagined_batch(spec, pp18, call(*packed))
-    assert batch.observations.shape == (spec.batch, 3, S)
-    assert batch.actions.shape == (spec.batch, 3, A)
-    assert batch.valids.shape == (spec.batch, 3)
-    # feeds the TRPO update without error
-    from metrpo_tpu.algos.trpo import make_trpo_update
-    from metrpo_tpu.config import TrpoParams
-    update = make_trpo_update(pol18, TrpoParams(cg_iters=2))
-    new_params, stats = update(pp18, batch)
-    assert np.isfinite(float(stats.surrogate_before))
