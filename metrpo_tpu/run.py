@@ -106,9 +106,15 @@ def _launch_seed_fleet(args, argv) -> int:
 
 def main(argv=None):
     args = build_parser().parse_args(argv)
+    import jax
     if args.platform:
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # Persistent compile cache: back-to-back runs with the same shapes
+    # (seed fleets, resume-after-reset, the sequential TPU schedule) skip
+    # recompilation. Honors an externally-set JAX_COMPILATION_CACHE_DIR.
+    if not os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        jax.config.update("jax_compilation_cache_dir",
+                          "/tmp/jax_cache_metrpo")
     path = args.params or default_params_path(args.env)
     if not os.path.exists(path):
         sys.exit(f"params file not found: {path}")
