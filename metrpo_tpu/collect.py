@@ -47,6 +47,13 @@ def make_act_batch_fn(policy: GaussianMLPPolicy, prefer_cpu: bool = False):
 
 
 class CollectInfo(NamedTuple):
+    """Summary of one collection call.
+
+    ``avg_weight_change`` is the mean |perturbation| of the most recent
+    full n_envs parameter-noise refresh — an approximation: it averages
+    over all n_envs freshly drawn perturbations, including ones whose
+    slot never runs an episode before the next refresh (the reference's
+    per-episode scalar, env_helpers.py:50-59, has the same role)."""
     episodes: int
     timesteps: int
     avg_eps_reward: float
@@ -127,6 +134,11 @@ def collect_real_rollouts(env: HostEnv,
     ep_rew = [[] for _ in range(n_envs)]
     steps_in_ep = np.zeros(n_envs, dtype=np.int64)
 
+    # NOTE: when `total` reaches sample_size the loop exits and any
+    # in-flight partial episodes are discarded — only episode-boundary
+    # data enters the replay, matching the reference (sample_trajectories
+    # also stops at whole trajectories, env_helpers.py:352-454). The last
+    # batched step's physics/policy work for unfinished slots is wasted.
     while total < sample_size:
         actions = np.asarray(act_batch(param_stack, obs))
         if exploration.vary_trajectory_noise:

@@ -24,9 +24,6 @@ class SwimmerEnv(MujocoHostEnv):
 
     XML = "swimmer.xml"
     FRAME_SKIP = 4
-    # (vel_idx, ctrl_coeff, reward_clip) — the env's cost is the
-    # velocity-minus-control form shared by this family
-    velocity_cost_spec = (5, 0.5 * 1e-2, 0.0)
 
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-2):
         self.ctrl_cost_coeff = ctrl_cost_coeff
@@ -73,7 +70,6 @@ class SnakeEnv(MujocoHostEnv):
     XML = "snake.xml"
     FRAME_SKIP = 4
     FWD_IDX = 7
-    velocity_cost_spec = (7, 0.5 * 1e-2, 0.0)
 
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-2):
         self.ctrl_cost_coeff = ctrl_cost_coeff
@@ -113,7 +109,6 @@ class HalfCheetahEnv(MujocoHostEnv):
 
     XML = "half_cheetah.xml"
     FRAME_SKIP = 5
-    velocity_cost_spec = (9, 0.5 * 1e-1, 10.0)
 
     def __init__(self, seed: int = 0):
         self.ctrl_cost_coeff = 1e-1

@@ -134,7 +134,6 @@ class Walker2dEnv(MujocoHostEnv):
     XML = "walker2d.xml"
     FRAME_SKIP = 4
     ctrl_cost_coeff = 1e-3
-    velocity_cost_spec = (9, 0.5 * 1e-3, 0.0)
 
     def get_current_obs(self) -> np.ndarray:
         qpos, qvel = self.data.qpos, self.data.qvel

@@ -368,6 +368,14 @@ class Trainer:
                 self.tabular.record(
                     f"trpo_{k}",
                     float(last_stats[k]) if k in last_stats else float("nan"))
+        elif cfg.algo == "vpg":
+            # the fused VPG chunk collects the same diagnostics
+            # (policy_opt._advance_chunk's vpg entry); surface them the
+            # way the TRPO ones are (VERDICT r2 item 8)
+            for k in ("kl", "loss", "imagined_mean_return"):
+                self.tabular.record(
+                    f"vpg_{k}",
+                    float(last_stats[k]) if k in last_stats else float("nan"))
         votes = pol_logs.get("vote_fraction_worse") or []
         est_votes = [v.get("estimated", 0.0) for v in votes]
         self.tabular.record("vote_frac_worse_last",

@@ -7,6 +7,13 @@ spanning a pod slice: ``jax.distributed.initialize`` per host, a global
 (each host steps its own env shard), and XLA collectives over ICI/DCN for
 every reduction (SURVEY.md §5.8 target design).
 
+The host side is SPMD: every process runs the same host code with the
+same seeds, so host-side arrays are identical everywhere and
+``parallel/mesh.py:put_global`` feeds each process only the shards its
+local devices address.  Validated end-to-end by the 2-process
+``jax.distributed`` CPU test driving one production ``Trainer.run_sweep``
+(``tests/test_parallel.py::test_two_process_distributed_sweep``).
+
 Usage on each host of a slice:
 
     python -m metrpo_tpu.parallel.launch --coordinator <host0>:1234 \

@@ -60,16 +60,33 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def put_global(x, sharding: NamedSharding):
+    """device_put of a host-identical global array, multi-controller safe.
+
+    Single-process: plain ``device_put``.  Multi-process (one run spanning
+    a pod slice, SURVEY.md §5.8): the host side of this framework is SPMD —
+    every process runs the same host code with the same seeds, so every
+    process holds the same global-shaped array; each contributes only the
+    shards its local devices address via ``jax.make_array_from_callback``
+    (multi-controller jax rejects ``device_put`` of a full host array
+    against a global mesh).
+    """
+    if jax.process_count() == 1:
+        return jax.device_put(x, sharding)
+    x = np.asarray(x)
+    return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
 def shard_tree_ensemble(mesh: Mesh, params):
-    """device_put ensemble params with K-axis sharded over 'ensemble'."""
+    """Place ensemble params with K-axis sharded over 'ensemble'."""
     spec_of = ensemble_param_sharding(mesh)
     return jax.tree_util.tree_map(
-        lambda l: jax.device_put(l, spec_of(l)), params)
+        lambda l: put_global(l, spec_of(l)), params)
 
 
 def replicate_tree(mesh: Mesh, tree):
     rep = replicated(mesh)
-    return jax.tree_util.tree_map(lambda l: jax.device_put(l, rep), tree)
+    return jax.tree_util.tree_map(lambda l: put_global(l, rep), tree)
 
 
 # ---------------------------------------------------------------------------
@@ -102,7 +119,7 @@ def shard_batch(mesh: Optional[Mesh], x, axis: int = 0):
         return x
     spec = [None] * x.ndim
     spec[axis] = DATA_AXIS
-    return jax.device_put(x, NamedSharding(mesh, P(*spec)))
+    return put_global(x, NamedSharding(mesh, P(*spec)))
 
 
 def constrain_batch(mesh: Optional[Mesh], x, axis: int = 0,

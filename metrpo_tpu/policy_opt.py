@@ -279,29 +279,16 @@ class PolicyOptimizer:
 
     def _algo_iteration(self, policy_params, opt_state, ens_params,
                         input_stats, diff_stats, key):
+        """One iteration for the non-fused algos (ppo/l-bfgs/svg/bptt).
+
+        trpo/npg/vpg never reach here — they run through the fused
+        ``_advance_chunk`` path (``optimize``'s first branch)."""
         pop = self.pop
         from metrpo_tpu.parallel.mesh import shard_batch
         inits = shard_batch(
             self.mesh,
             np.asarray(self.sample_init_states(self.n_particles), np.float32))
 
-        def sample_batch(k):
-            return self._rollout(policy_params, ens_params, input_stats,
-                                 diff_stats, inits, T=pop.T, key=k,
-                                 sam_mode=pop.sam_mode,
-                                 unroll=pop.rollout_unroll)
-
-        if self.algo_name in ("trpo", "npg"):
-            k1, k2 = jax.random.split(key)
-            batch = sample_batch(k1)
-            policy_params, stats = self._trpo_update(policy_params, batch)
-            return policy_params, opt_state, 0.0
-        if self.algo_name == "vpg":
-            k1, k2 = jax.random.split(key)
-            batch = sample_batch(k1)
-            policy_params, opt_state, stats = self._vpg_update(
-                policy_params, opt_state, batch)
-            return policy_params, opt_state, 0.0
         if self.algo_name == "ppo":
             k1, _ = jax.random.split(key)
             batch = self._rollout(policy_params, ens_params, input_stats,
