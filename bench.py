@@ -8,14 +8,24 @@ uniform-random member mixing per step, then the full TRPO update
 (GAE + baseline fit + CG Fisher-vector products + line search).
 
 Variants measured:
-  - step_rand fp32: reference-faithful semantics, all-K compute + select;
-  - balanced fp32: balanced member assignment (uniform marginal member
-    choice, Kx fewer FLOPs in the hot loop);
-  - balanced bf16: + bfloat16 ensemble matmuls on the MXU.
+  - step_rand fp32: reference-faithful semantics (iid uniform member per
+    particle per step, env_helpers.py:617-620), all-K compute + select;
+  - step_rand ragged fp32: SAME faithful semantics and member draws,
+    executed as grouped matmuls (sort by member + jax.lax.ragged_dot,
+    imagine.py) — B rows of MXU work instead of K*B;
+  - balanced fp32/bf16: optimized variant — uniform marginal member
+    choice but exactly B/K particles per member per step (a different
+    joint distribution from the reference's).
 All variants run with scan unroll=2 (the production default,
 config.PolicyOptParams.rollout_unroll): XLA overlaps step t+1's
 ensemble-weight HBM fetch with step t's compute.
-Headline = the fastest faithful variant.
+
+HEADLINE = the fastest reference-faithful variant (step_rand family
+only; 'balanced' is reported but never the headline — VERDICT r2 weak #3).
+Each variant is timed in 3 repeats of 10 iterations; the headline and
+per-variant numbers are the MEDIAN repeat, with min/max spread in
+"timing" (r01->r02 the single-repeat headline swung 12% — the spread
+makes run-to-run variance visible in the JSON itself).
 
 Baseline: the TF 1.4 reference steps its imagined env from Python — two
 feed-dict session.run calls per step over a <=100-env batch
@@ -36,28 +46,38 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_metrpo")
+
 BASELINE_STEPS_PER_SEC = 3.0e4
 N_PARTICLES, T = 500, 100
+N_REPEATS, N_ITERS = 3, 10
+FAITHFUL = ("step_rand_fp32", "step_rand_ragged_fp32")
 
 
 def time_rollout(policy, ensemble, cost_fn, pp, ep, in_stats, diff_stats,
-                 sam_mode, n_iters=10, n_particles=None, unroll=2):
+                 sam_mode, n_iters=N_ITERS, n_particles=None, unroll=2,
+                 n_repeats=N_REPEATS, step_rand_impl="all_k"):
+    """Median per-iteration time over n_repeats timing repeats (+ spread)."""
     from metrpo_tpu.imagine import rollout_trajectories
 
     B = n_particles or N_PARTICLES
     roll = jax.jit(lambda pp, ep, inits, key: rollout_trajectories(
         policy, ensemble, cost_fn, None, pp, ep, in_stats, diff_stats,
-        inits, T, key, sam_mode=sam_mode, unroll=unroll))
+        inits, T, key, sam_mode=sam_mode, unroll=unroll,
+        step_rand_impl=step_rand_impl))
     rng = np.random.default_rng(0)
     inits = jnp.asarray(rng.normal(size=(B, 18)), jnp.float32)
     key = jax.random.PRNGKey(0)
     batch = roll(pp, ep, inits, key)
     jax.block_until_ready(batch)
-    t0 = time.perf_counter()
-    for i in range(n_iters):
-        batch = roll(pp, ep, inits, jax.random.fold_in(key, i))
-    jax.block_until_ready(batch)
-    return (time.perf_counter() - t0) / n_iters, batch
+    times = []
+    for r in range(n_repeats):
+        t0 = time.perf_counter()
+        for i in range(n_iters):
+            batch = roll(pp, ep, inits, jax.random.fold_in(key, r * 1000 + i))
+        jax.block_until_ready(batch)
+        times.append((time.perf_counter() - t0) / n_iters)
+    return float(np.median(times)), (min(times), max(times)), batch
 
 
 def main():
@@ -65,19 +85,28 @@ def main():
     from metrpo_tpu.algos.trpo import make_trpo_update
     from metrpo_tpu.config import TrpoParams
 
-    variants = {}
+    variants, timing = {}, {}
     builds = {
-        "step_rand_fp32": ("float32", "step_rand"),
-        "balanced_fp32": ("float32", "step_rand_balanced"),
-        "balanced_bf16": ("bfloat16", "step_rand_balanced"),
+        "step_rand_fp32": ("float32", "step_rand", "all_k"),
+        "step_rand_ragged_fp32": ("float32", "step_rand", "ragged"),
+        "balanced_fp32": ("float32", "step_rand_balanced", "all_k"),
+        "balanced_bf16": ("bfloat16", "step_rand_balanced", "all_k"),
     }
     batch = None
     policy = None
-    for name, (dtype, mode) in builds.items():
+    for name, (dtype, mode, impl) in builds.items():
         policy, ensemble, pp, ep, in_stats, diff_stats = g._build(dtype=dtype)
-        dt, b = time_rollout(policy, ensemble, g._cheetah_cost, pp, ep,
-                             in_stats, diff_stats, mode)
+        try:
+            dt, spread, b = time_rollout(policy, ensemble, g._cheetah_cost,
+                                         pp, ep, in_stats, diff_stats, mode,
+                                         step_rand_impl=impl)
+        except Exception as e:  # a variant must never kill the bench
+            variants[name] = None
+            timing[name] = f"failed: {type(e).__name__}"
+            continue
         variants[name] = round(N_PARTICLES * T / dt, 1)
+        timing[name] = {"steps_per_s_min": round(N_PARTICLES * T / spread[1], 1),
+                        "steps_per_s_max": round(N_PARTICLES * T / spread[0], 1)}
         if batch is None:
             batch = b
             pp0 = pp
@@ -91,19 +120,20 @@ def main():
     jax.block_until_ready(new_params)
     trpo_time = (time.perf_counter() - t0) / 10
 
-    # throughput ceiling: same program, 8192 particles (the ensemble-weight
-    # HBM streaming per scan step amortizes over the larger batch)
+    # large-batch point: same program, 8192 particles. unroll=1 here —
+    # at B=8192 each step's compute is long enough to overlap the weight
+    # streaming without unrolling, and unroll=2 doubles live VMEM buffers.
     policy, ensemble, pp, ep, in_stats, diff_stats = g._build()
-    # unroll=1 here: at B=8192 the per-step weight streaming already overlaps
-    # with compute and unrolling only doubles live VMEM buffers (measured
-    # 11.4M with unroll=2 vs 26M with unroll=1 on v5e)
-    dt_big, _ = time_rollout(policy, ensemble, g._cheetah_cost, pp, ep,
-                             in_stats, diff_stats, "step_rand_balanced",
-                             n_iters=5, n_particles=8192, unroll=1)
+    dt_big, spread_big, _ = time_rollout(
+        policy, ensemble, g._cheetah_cost, pp, ep, in_stats, diff_stats,
+        "step_rand_balanced", n_iters=5, n_particles=8192, unroll=1)
     variants["balanced_fp32_B8192"] = round(8192 * T / dt_big, 1)
+    timing["balanced_fp32_B8192"] = {
+        "steps_per_s_min": round(8192 * T / spread_big[1], 1),
+        "steps_per_s_max": round(8192 * T / spread_big[0], 1)}
 
-    best = max(variants["step_rand_fp32"], variants["balanced_fp32"],
-               variants["balanced_bf16"])
+    # headline = fastest reference-FAITHFUL variant (balanced excluded)
+    best = max(variants[k] for k in FAITHFUL if variants.get(k))
     print(json.dumps({
         "metric": "imagined_env_steps_per_sec_per_chip_half_cheetah",
         "value": best,
@@ -112,7 +142,9 @@ def main():
         # the reference publishes no throughput numbers; the 3e4 steps/s
         # TF 1.4 figure is derived analytically (see module docstring)
         "baseline": "estimated",
+        "headline_is": "fastest reference-faithful step_rand variant",
         "variants": variants,
+        "timing": timing,
         "trpo_update_time_s": round(trpo_time, 4),
         "n_particles": N_PARTICLES,
         "horizon": T,

@@ -171,6 +171,10 @@ class PolicyOptParams:
     rollout_unroll: int = 2  # lax.scan unroll factor for the imagined sampler;
     #   2 lets XLA overlap step t+1's ensemble-weight HBM fetch with step t's
     #   compute (+20% steps/s on v5e at the B=500 headline workload)
+    step_rand_impl: str = "all_k"  # step_rand execution strategy: 'all_k'
+    #   (forward every member, gather) or 'ragged' (sort particles by the
+    #   sampled member, grouped matmuls via jax.lax.ragged_dot — identical
+    #   member draws/semantics, ~K x fewer MXU FLOPs in the hot loop)
 
 
 @dataclass(frozen=True)
@@ -373,6 +377,7 @@ def config_from_dict(raw: dict) -> ExperimentConfig:
         sam_mode=pop_raw.get("sam_mode", "step_rand"),
         remat=bool(pop_raw.get("remat", False)),
         rollout_unroll=int(pop_raw.get("rollout_unroll", 2)),
+        step_rand_impl=str(pop_raw.get("step_rand_impl", "all_k")),
     )
 
     rp_raw = raw.get("rollout_params", {})

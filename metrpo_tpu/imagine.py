@@ -162,7 +162,8 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
                          key: jax.Array,
                          sam_mode: str = "step_rand",
                          deterministic: bool = False,
-                         unroll: int = 1) -> ImaginedBatch:
+                         unroll: int = 1,
+                         step_rand_impl: str = "all_k") -> ImaginedBatch:
     """Roll B particles T steps through the ensemble, all on device.
 
     Each step: sample a ~ N(policy_mean, std) (unless deterministic), clip,
@@ -177,6 +178,14 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
 
     K = ensemble.n_models
     balanced = sam_mode == "step_rand_balanced" and B % K == 0
+    # 'ragged' executes the FAITHFUL step_rand semantics (iid uniform
+    # member per particle per step — identical joint distribution, same
+    # member draws from the same key) via grouped matmuls: sort particles
+    # by sampled member, one jax.lax.ragged_dot per layer (B rows of MXU
+    # work instead of K*B), unsort. The sorts/bincounts are hoisted out
+    # of the scan like the balanced path's permutations.
+    ragged = (sam_mode == "step_rand" and step_rand_impl == "ragged"
+              and not ensemble.use_logit_weights and B >= K)
 
     # Hoist ALL per-step randomness out of the sequential scan: threefry
     # key-splits, normal draws, and especially the permutation sorts have
@@ -193,6 +202,14 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
         u = jax.random.uniform(k_member, (T, B))
         perms = jnp.argsort(u, axis=-1)
         member_xs = (perms, jnp.argsort(perms, axis=-1))
+    elif ragged:
+        member_idx = jax.random.randint(k_member, (T, B), 0, K)
+        perms = jnp.argsort(member_idx, axis=-1)
+        member_sorted = jnp.take_along_axis(member_idx, perms, axis=-1)
+        group_sizes = jax.vmap(
+            lambda m: jnp.bincount(m, length=K))(member_idx).astype(jnp.int32)
+        member_xs = (perms, jnp.argsort(perms, axis=-1), member_sorted,
+                     group_sizes)
     elif sam_mode in ("step_rand", "step_rand_balanced"):
         member_xs = jax.random.randint(k_member, (T, B), 0, K)
     else:
@@ -219,6 +236,12 @@ def rollout_trajectories(policy: GaussianMLPPolicy,
             preds = ensemble.apply_batched(ens_params, xgu_blocks,
                                            input_stats, diff_stats)
             x_next = preds.reshape(B, -1)[inv]
+        elif ragged:
+            perm, inv, member_sorted, gs = member_x
+            preds_sorted = ensemble.apply_ragged(
+                ens_params, xgu[perm], gs, member_sorted,
+                input_stats, diff_stats)
+            x_next = preds_sorted[inv]
         else:
             preds = ensemble.apply_all(ens_params, xgu, input_stats, diff_stats)
             if sam_mode in ("step_rand", "step_rand_balanced"):

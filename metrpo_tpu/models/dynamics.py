@@ -27,7 +27,8 @@ import jax
 import jax.numpy as jnp
 
 from metrpo_tpu.config import DynamicsModelParams, resolve_activation, resolve_regularizer
-from metrpo_tpu.models.mlp import ensemble_init, mlp_apply, mlp_init
+from metrpo_tpu.models.mlp import (ensemble_init, mlp_apply,
+                                   mlp_apply_ragged, mlp_init)
 from metrpo_tpu.utils.normalizer import RunningStats
 
 
@@ -132,11 +133,11 @@ class DynamicsEnsemble(NamedTuple):
         a = xgu[..., self.n_states + self.n_goals:]
         return s, g, a
 
-    def apply_member(self, params: dict, xgu: jnp.ndarray,
-                     input_stats: RunningStats, diff_stats: RunningStats) -> jnp.ndarray:
-        """One member's next-state prediction on a batch (B, S+G+A) -> (B, S+G)."""
+    def _nn_input(self, xgu: jnp.ndarray, input_stats: RunningStats):
+        """Member-independent input normalization + masking.
+        Returns (nn_in, s, g)."""
         xgu_norm = (xgu - input_stats.mean) / input_stats.std
-        s, g, a = self._split_xgu(xgu)
+        s, g, _ = self._split_xgu(xgu)
         s_n, _, a_n = self._split_xgu(xgu_norm)
         xu_norm = jnp.concatenate([s_n, a_n], axis=-1)
         if self.ignore_xy_input:
@@ -145,15 +146,12 @@ class DynamicsEnsemble(NamedTuple):
             nn_in = xu_norm[..., 1:]
         else:
             nn_in = xu_norm
-        cdt = None if self.dtype == jnp.float32 else self.dtype
-        gate = None
-        if self.use_logit_weights:
-            gate = mlp_apply(params["gate"], nn_in, self.hidden_act,
-                             jax.nn.sigmoid, compute_dtype=cdt)
-        out = mlp_apply(params["net"], nn_in, self.hidden_act, gate=gate,
-                        compute_dtype=cdt)
-        out = out.astype(jnp.float32)
+        return nn_in, s, g
 
+    def _postprocess(self, out: jnp.ndarray, s: jnp.ndarray, g: jnp.ndarray,
+                     diff_stats: RunningStats) -> jnp.ndarray:
+        """Member-independent output integration (training.py:255-268)."""
+        out = out.astype(jnp.float32)
         if "state_change" in self.prediction_type:
             # s' = diff_mean[:S] + diff_std[:S] * out + s (training.py:255-257)
             nxt = diff_stats.mean[: self.n_states] + \
@@ -166,6 +164,40 @@ class DynamicsEnsemble(NamedTuple):
         if "_goal" in self.prediction_type:
             nxt = jnp.concatenate([nxt, g], axis=-1)
         return nxt
+
+    def apply_member(self, params: dict, xgu: jnp.ndarray,
+                     input_stats: RunningStats, diff_stats: RunningStats) -> jnp.ndarray:
+        """One member's next-state prediction on a batch (B, S+G+A) -> (B, S+G)."""
+        nn_in, s, g = self._nn_input(xgu, input_stats)
+        cdt = None if self.dtype == jnp.float32 else self.dtype
+        gate = None
+        if self.use_logit_weights:
+            gate = mlp_apply(params["gate"], nn_in, self.hidden_act,
+                             jax.nn.sigmoid, compute_dtype=cdt)
+        out = mlp_apply(params["net"], nn_in, self.hidden_act, gate=gate,
+                        compute_dtype=cdt)
+        return self._postprocess(out, s, g, diff_stats)
+
+    def apply_ragged(self, params: dict, xgu: jnp.ndarray,
+                     group_sizes: jnp.ndarray, member_of_row: jnp.ndarray,
+                     input_stats: RunningStats,
+                     diff_stats: RunningStats) -> jnp.ndarray:
+        """Per-row member assignment: (B, D), (K,), (B,) -> (B, S+G).
+
+        Rows must be pre-sorted by member (``group_sizes[k]`` consecutive
+        rows for member k).  Row i's prediction equals row i of
+        ``apply_all(...)[member_of_row[i]]`` — the faithful 'random member
+        per particle' semantics — but via grouped matmuls
+        (``jax.lax.ragged_dot``) the MXU work is B rows instead of K*B.
+        Gating nets are unsupported here (callers fall back to
+        ``apply_all``)."""
+        assert not self.use_logit_weights, "ragged path has no gating net"
+        nn_in, s, g = self._nn_input(xgu, input_stats)
+        cdt = None if self.dtype == jnp.float32 else self.dtype
+        out = mlp_apply_ragged(params["net"], nn_in, group_sizes,
+                               member_of_row, self.hidden_act,
+                               compute_dtype=cdt)
+        return self._postprocess(out, s, g, diff_stats)
 
     def apply_all(self, params: dict, xgu: jnp.ndarray,
                   input_stats: RunningStats, diff_stats: RunningStats) -> jnp.ndarray:

@@ -60,6 +60,33 @@ def mlp_apply(params: dict, x: jnp.ndarray,
     return h
 
 
+def mlp_apply_ragged(params: dict, x: jnp.ndarray, group_sizes: jnp.ndarray,
+                     member_of_row: jnp.ndarray, hidden_act: Callable,
+                     output_act: Callable = lambda x: x,
+                     compute_dtype=None) -> jnp.ndarray:
+    """Grouped ensemble forward: row i uses member ``member_of_row[i]``'s
+    weights. Rows must be pre-sorted by member (``group_sizes[k]``
+    consecutive rows for member k). One ``jax.lax.ragged_dot`` (grouped
+    matmul, the MoE expert-dispatch primitive) per layer: total MXU work
+    is B rows, vs K*B for the all-members-then-select path. Biases are
+    per-row gathers (O(B*H) bandwidth, negligible next to the weights).
+
+    ``params`` is the K-stacked pytree from ``ensemble_init`` (leading K
+    axis on every leaf)."""
+    n_layers = len(params["w"])
+    h = x if compute_dtype is None else x.astype(compute_dtype)
+    for i, (w, b) in enumerate(zip(params["w"], params["b"])):
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+        pre = jax.lax.ragged_dot(h, w, group_sizes,
+                                 preferred_element_type=jnp.float32)
+        pre = pre + b[member_of_row]
+        h = output_act(pre) if i == n_layers - 1 else hidden_act(pre)
+        if compute_dtype is not None and i < n_layers - 1:
+            h = h.astype(compute_dtype)
+    return h
+
+
 def ensemble_init(key, n_members: int, sizes: Sequence[int], dtype=jnp.float32) -> dict:
     """K independently-initialized member param sets stacked on axis 0."""
     keys = jax.random.split(key, n_members)

@@ -185,7 +185,8 @@ class PolicyOptimizer:
         # jitted imagined-trajectory sampler (TRPO/VPG path)
         self._rollout = jax.jit(functools.partial(
             rollout_trajectories, policy, ensemble, cost_fn, is_done_fn),
-            static_argnames=("T", "sam_mode", "deterministic", "unroll"))
+            static_argnames=("T", "sam_mode", "deterministic", "unroll",
+                             "step_rand_impl"))
 
         # jitted per-member estimated-cost evaluator (built ONCE: a fresh
         # jit per call would recompile the T-step program every eval)
@@ -224,7 +225,8 @@ class PolicyOptimizer:
                 batch = rollout_trajectories(
                     policy, ensemble, cost_fn, is_done_fn, params, ens_params,
                     input_stats, diff_stats, init, T=pop.T, key=k,
-                    sam_mode=pop.sam_mode, unroll=pop.rollout_unroll)
+                    sam_mode=pop.sam_mode, unroll=pop.rollout_unroll,
+                    step_rand_impl=pop.step_rand_impl)
                 if with_opt_state:
                     params, opt_state, stats = raw_update(params, opt_state, batch)
                 else:
@@ -294,7 +296,8 @@ class PolicyOptimizer:
             batch = self._rollout(policy_params, ens_params, input_stats,
                                   diff_stats, inits, T=pop.T, key=k1,
                                   sam_mode=pop.sam_mode,
-                                  unroll=pop.rollout_unroll)
+                                  unroll=pop.rollout_unroll,
+                                  step_rand_impl=pop.step_rand_impl)
             policy_params, opt_state, stats = self._ppo_update(
                 policy_params, opt_state, batch)
             return policy_params, opt_state, float(stats.loss)
@@ -391,7 +394,8 @@ class PolicyOptimizer:
                     policy_params, scope_ens_params["training_dynamics"],
                     input_stats, diff_stats, inits, T=pop.T, key=k_d,
                     sam_mode=pop.sam_mode, deterministic=True,
-                    unroll=pop.rollout_unroll)
+                    unroll=pop.rollout_unroll,
+                    step_rand_impl=pop.step_rand_impl)
                 returns = np.asarray(
                     jnp.sum(batch.rewards * batch.valids, axis=1))
                 candidates["trpo_mean"] = float(np.mean(-returns))

@@ -144,6 +144,34 @@ def test_rollout_sam_modes():
         assert np.all(np.isfinite(np.asarray(batch.rewards))), mode
 
 
+def test_step_rand_ragged_equals_all_k():
+    """The ragged (grouped-matmul) step_rand execution is an execution
+    strategy only: same key -> same member draws -> identical
+    trajectories (up to matmul-tiling fp noise) as the all-members-then-
+    gather path. B=7 with K=3 exercises uneven (multinomial) group
+    sizes incl. potential empty groups."""
+    env = Point2DEnv()
+    policy = GaussianMLPPolicy.create(2, 2, PolicyModelParams(hidden_layers=(8,)))
+    ens = DynamicsEnsemble.create(2, 2, 0, DynamicsModelParams(
+        hidden_layers=(16,), nonlinearity=("relu",)), 3)
+    pp = policy.init(jax.random.PRNGKey(0))
+    ep = ens.init(jax.random.PRNGKey(1))
+    in_stats = running_stats_update(running_stats_init(4), np.random.randn(50, 4))
+    diff_stats = running_stats_update(running_stats_init(2),
+                                      0.1 * np.random.randn(50, 2))
+    inits = jnp.asarray(np.random.randn(7, 2), jnp.float32)
+    ref = rollout_trajectories(
+        policy, ens, env.cost, None, pp, ep, in_stats, diff_stats,
+        inits, 9, jax.random.PRNGKey(2), sam_mode="step_rand")
+    out = rollout_trajectories(
+        policy, ens, env.cost, None, pp, ep, in_stats, diff_stats,
+        inits, 9, jax.random.PRNGKey(2), sam_mode="step_rand",
+        step_rand_impl="ragged")
+    for name, a, b in zip(ref._fields, ref, out):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5, err_msg=name)
+
+
 def test_rollout_unroll_is_semantics_preserving():
     """unroll is a scheduling knob only: identical trajectories for any
     unroll factor (incl. T not divisible by it) and a fixed key."""
