@@ -85,8 +85,13 @@ def train_model_free(env: HostEnv, env_factory, policy_cfg,
                      discount: float = 0.99,
                      seed: int = 0,
                      snapshot_dir: Optional[str] = None,
-                     logger=None) -> tuple[dict, list]:
-    """Model-free TRPO/VPG on the real env. Returns (params, return_curve)."""
+                     logger=None,
+                     progress_callback=None) -> tuple[dict, list]:
+    """Model-free TRPO/VPG on the real env. Returns (params, return_curve).
+
+    ``progress_callback(itr, mean_return)`` is invoked after every
+    iteration (used by scripts/exp_sample_efficiency.py to stream the
+    curve to disk during long runs)."""
     keys = KeySequence(seed)
     policy = GaussianMLPPolicy.create(env.n_obs, env.n_actions, policy_cfg,
                                       env.action_space.low, env.action_space.high)
@@ -123,4 +128,6 @@ def train_model_free(env: HostEnv, env_factory, policy_cfg,
         tab.dump()
         if logger:
             logger.info("itr %d AverageReturn %.2f", itr, mean_ret)
+        if progress_callback:
+            progress_callback(itr + 1, mean_ret)
     return params, curve

@@ -1,14 +1,23 @@
-"""Sample-efficiency comparator: ME-TRPO vs model-free TRPO on point2D.
+"""Sample-efficiency comparator: ME-TRPO vs model-free TRPO.
 
 Backs BASELINE.md row 1 (the reference README's headline claim, README.md:4:
-"same final performance with 100x less data" vs model-free RL, arXiv
-1802.10592). Both sides use the SAME policy network, TRPO update program and
-real environment; the only difference is whether gradients come from imagined
-ensemble rollouts (ME-TRPO) or raw real-env batches (model-free,
-batch_polopt.py:145-235 analog in metrpo_tpu/model_free.py).
+"same final performance with 100x less data" vs model-free RL *on MuJoCo
+domains*, arXiv 1802.10592). Both sides use the SAME policy network, TRPO
+update program and real environment; the only difference is whether
+gradients come from imagined ensemble rollouts (ME-TRPO) or raw real-env
+batches (model-free, batch_polopt.py:145-235 analog in
+metrpo_tpu/model_free.py).
 
-CPU-only (point2D is a 2-D linear system; see CLAUDE.md TPU-exclusivity note).
-Writes results_sample_efficiency.csv and prints a summary table.
+Modes:
+  python scripts/exp_sample_efficiency.py            # point2D, both sides
+  python scripts/exp_sample_efficiency.py swimmer    # MuJoCo domain:
+    model-free TRPO trains here (CPU); the ME-TRPO side is read from the
+    committed TPU swimmer runs' progress.csv (runs/swimmer_s*/ — reference
+    hyperparameters, 3000 real steps/sweep), so the comparison is measured
+    on the same env/seed family the parity curves come from.
+
+CPU-only (see CLAUDE.md TPU-exclusivity note).
+Writes results_sample_efficiency[_swimmer].csv and prints a summary table.
 """
 
 import os
@@ -66,6 +75,89 @@ def run_model_free():
     return rows
 
 
+SWIMMER_OUT = os.path.join(REPO, "results_sample_efficiency_swimmer.csv")
+SWIMMER_MF_ITERS = 720          # 720 x 5000 = 3.6M real steps (100x the
+SWIMMER_MF_BATCH = 5000         # 36k the TPU ME-TRPO runs converge in)
+SWIMMER_T = 200                 # params-swimmer.json horizon
+
+
+def read_me_trpo_swimmer():
+    """ME-TRPO side from the committed TPU runs (reference hyperparams)."""
+    import csv
+    import glob
+    rows = []
+    for d in sorted(glob.glob(os.path.join(REPO, "runs/swimmer_s*"))):
+        path = os.path.join(d, "progress.csv")
+        if not os.path.isfile(path):
+            continue
+        name = f"me-trpo-{os.path.basename(d)}"
+        for i, r in enumerate(csv.DictReader(open(path))):
+            steps = int(float(r["TimeStepsCollected"]))
+            tot = (rows[-1][2] + steps if rows and rows[-1][0] == name
+                   else steps)
+            rows.append((name, i + 1, tot,
+                         -float(r["real_current_validation_cost"])))
+    return rows
+
+
+def run_model_free_swimmer(n_itr=SWIMMER_MF_ITERS):
+    from metrpo_tpu.envs import get_env
+    env = get_env("swimmer")
+    factory = lambda: get_env("swimmer")
+    rows = []
+
+    def cb(itr, ret):
+        rows.append(("model-free-trpo", itr, itr * SWIMMER_MF_BATCH,
+                     float(ret)))
+        if itr % 10 == 0 or itr == 1:
+            print(f"[model-free swimmer] iter {itr} "
+                  f"steps {itr * SWIMMER_MF_BATCH} return {ret:.2f}",
+                  flush=True)
+            flush_csv(rows)
+
+    def flush_csv(mf_rows):
+        with open(SWIMMER_OUT, "w") as f:
+            f.write("method,iteration,real_env_steps,avg_return\n")
+            for row in read_me_trpo_swimmer() + mf_rows:
+                f.write(",".join(str(x) for x in row) + "\n")
+
+    _, curve = train_model_free(
+        env, factory, PolicyModelParams(hidden_layers=(32, 32)),
+        algo="trpo", n_itr=n_itr, batch_size=SWIMMER_MF_BATCH,
+        max_path_length=SWIMMER_T, discount=0.99, seed=0,
+        progress_callback=cb)
+    flush_csv(rows)
+    return rows
+
+
+def main_swimmer(n_itr=SWIMMER_MF_ITERS):
+    t0 = time.time()
+    mb = read_me_trpo_swimmer()
+    if not mb:
+        print("no runs/swimmer_s*/progress.csv yet — the ME-TRPO side "
+              "comes from the TPU runs; continuing with model-free only")
+    mf = run_model_free_swimmer(n_itr)
+    if mb:
+        # compare against the best per-run final return of the TPU curves
+        finals = {}
+        for name, _, steps, ret in mb:
+            finals[name] = (steps, ret)
+        print("\n=== swimmer sample-efficiency summary ===")
+        for name, (steps, ret) in finals.items():
+            best = max(r[3] for r in mb if r[0] == name)
+            reach = next((r for r in mf if r[3] >= best), None)
+            if reach:
+                print(f"{name}: best return {best:.1f} in <= {steps} steps; "
+                      f"model-free reaches it after {reach[2]} steps "
+                      f"-> {reach[2] / steps:.0f}x more data")
+            else:
+                mf_best = max(r[3] for r in mf)
+                print(f"{name}: best return {best:.1f} in <= {steps} steps; "
+                      f"model-free best {mf_best:.1f} after {mf[-1][2]} "
+                      f"steps -> >{mf[-1][2] / steps:.0f}x more data needed")
+    print(f"wrote {SWIMMER_OUT} ({time.time() - t0:.0f}s)")
+
+
 def main():
     t0 = time.time()
     mb = run_me_trpo()
@@ -92,4 +184,8 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "swimmer":
+        n = int(sys.argv[2]) if len(sys.argv) > 2 else SWIMMER_MF_ITERS
+        main_swimmer(n)
+    else:
+        main()
