@@ -101,3 +101,25 @@ def test_point2d_trpo_smoke(tmp_path):
     trainer = Trainer(cfg, env, Point2DEnv, snapshot_dir=str(tmp_path))
     results = trainer.train(sweep_iters=1)
     assert np.isfinite(results[0]["real_current_validation_cost"])
+    # TRPO optimizer diagnostics surface as progress.csv columns
+    row = trainer.tabular.rows[-1]
+    assert "trpo_kl" in row and "trpo_step_accept_rate" in row
+
+
+@pytest.mark.slow
+def test_point2d_vpg_stats_columns(tmp_path):
+    """The fused VPG chunk's diagnostics surface as vpg_* progress.csv
+    columns, mirroring the trpo_* ones (VERDICT r2 item 8)."""
+    np.random.seed(0)
+    raw = dict(POINT2D_TINY)
+    raw["algo"] = "vpg"
+    raw["sweep_iters"] = 1
+    cfg = config_from_dict(raw)
+    env = Point2DEnv()
+    trainer = Trainer(cfg, env, Point2DEnv, snapshot_dir=str(tmp_path))
+    results = trainer.train(sweep_iters=1)
+    assert np.isfinite(results[0]["real_current_validation_cost"])
+    row = trainer.tabular.rows[-1]
+    for k in ("vpg_kl", "vpg_loss", "vpg_imagined_mean_return"):
+        assert k in row, k
+        assert np.isfinite(float(row[k])), k
