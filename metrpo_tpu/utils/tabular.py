@@ -27,6 +27,19 @@ class TabularLogger:
         self._current: dict[str, Any] = {}
         self._rows: list[dict[str, Any]] = []
         self._header: list[str] = []
+        # Resume continuity: if progress.csv already exists (a `-resume`d
+        # run), preload its rows so the file keeps its history instead of
+        # being truncated on the first header-growing dump (round-3 ant
+        # resume lost its round-2 rows from the live file this way —
+        # recoverable from git, but the file should be the full curve).
+        if path is not None and os.path.isfile(path):
+            try:
+                with open(path, newline="") as f:
+                    r = csv.DictReader(f)
+                    self._header = list(r.fieldnames or [])
+                    self._rows = [dict(row) for row in r]
+            except Exception:
+                self._header, self._rows = [], []
 
     def record(self, key: str, value: Any):
         if hasattr(value, "item") and getattr(value, "ndim", 1) == 0:

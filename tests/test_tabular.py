@@ -22,6 +22,26 @@ def test_tabular_header_evolves(tmp_path):
     assert rows[1]["a"] == "2" and rows[1]["b"] == "3.5"
 
 
+def test_tabular_resume_appends_preserving_history(tmp_path):
+    """A second logger on an existing progress.csv (the -resume case)
+    preloads its rows: history survives both plain appends AND the
+    header-growing rewrite."""
+    path = str(tmp_path / "progress.csv")
+    t = TabularLogger(path)
+    t.record("a", 1)
+    t.dump()
+    del t
+    t2 = TabularLogger(path)   # resume
+    t2.record("a", 2)
+    t2.dump()                  # same header -> append
+    t2.record("a", 3)
+    t2.record("b", 9)          # new column -> rewrite path
+    t2.dump()
+    rows = list(csv.DictReader(open(path)))
+    assert [r["a"] for r in rows] == ["1", "2", "3"]
+    assert rows[0]["b"] == "" and rows[2]["b"] == "9"
+
+
 def test_collect_checks_ant_done_invariant():
     """The collector must assert done == analytic is_done per step
     (env_helpers.py:410-411) — drive it on ant where done can fire."""
