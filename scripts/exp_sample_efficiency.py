@@ -183,9 +183,46 @@ def main():
     print(f"wrote {OUT} ({time.time() - t0:.0f}s)")
 
 
+def merge_swimmer_only():
+    """Re-merge the ME-TRPO side (runs/swimmer_s*/progress.csv) with the
+    already-recorded model-free rows and print the summary — used after
+    the TPU swimmer runs land, without re-training model-free."""
+    import csv
+    mf = []
+    if os.path.isfile(SWIMMER_OUT):
+        for r in csv.DictReader(open(SWIMMER_OUT)):
+            if r["method"] == "model-free-trpo":
+                mf.append((r["method"], int(r["iteration"]),
+                           int(r["real_env_steps"]), float(r["avg_return"])))
+    mb = read_me_trpo_swimmer()
+    with open(SWIMMER_OUT, "w") as f:
+        f.write("method,iteration,real_env_steps,avg_return\n")
+        for row in mb + mf:
+            f.write(",".join(str(x) for x in row) + "\n")
+    print(f"merged {len(mb)} me-trpo rows + {len(mf)} model-free rows")
+    names = sorted({r[0] for r in mb})
+    for name in names:
+        pts = [r for r in mb if r[0] == name]
+        best = max(r[3] for r in pts)
+        steps = pts[-1][2]
+        reach = next((r for r in mf if r[3] >= best), None)
+        if reach:
+            print(f"{name}: best return {best:.1f} in <= {steps} steps; "
+                  f"model-free reaches it after {reach[2]} steps "
+                  f"-> {reach[2] / steps:.1f}x more data")
+        else:
+            mf_best = max((r[3] for r in mf), default=float("nan"))
+            print(f"{name}: best return {best:.1f} in <= {steps} steps; "
+                  f"model-free best {mf_best:.1f} after "
+                  f"{mf[-1][2] if mf else 0} steps (never reaches it)")
+
+
 if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "swimmer":
-        n = int(sys.argv[2]) if len(sys.argv) > 2 else SWIMMER_MF_ITERS
-        main_swimmer(n)
+        if len(sys.argv) > 2 and sys.argv[2] == "merge":
+            merge_swimmer_only()
+        else:
+            n = int(sys.argv[2]) if len(sys.argv) > 2 else SWIMMER_MF_ITERS
+            main_swimmer(n)
     else:
         main()
