@@ -12,7 +12,10 @@ Variants measured:
     particle per step, env_helpers.py:617-620), all-K compute + select;
   - step_rand ragged fp32: SAME faithful semantics and member draws,
     executed as grouped matmuls (sort by member + jax.lax.ragged_dot,
-    imagine.py) — B rows of MXU work instead of K*B;
+    imagine.py) — B rows of MXU work instead of K*B. Measured round 3
+    on v5e: does NOT beat all-K at B=500 (sort/gather latency) or
+    B=8192 (weight-streaming-bound) — kept as a recorded strategy, not
+    the default (BENCH_BUILDER_r03.json, RESULTS.md);
   - balanced fp32/bf16: optimized variant — uniform marginal member
     choice but exactly B/K particles per member per step (a different
     joint distribution from the reference's).
