@@ -65,10 +65,12 @@ class SwimmerEnv(MujocoHostEnv):
 class SnakeEnv(MujocoHostEnv):
     """5-link snake. Obs (14): COM xy, qpos[2:], COM vel xy, qvel[2:]
     (reference com_snake_env.py:31-39); cost on forward COM vel at index 7
-    (:73-84)."""
+    (:73-84).  frame_skip=50 matches the reference XML's custom numeric
+    (vendor/mujoco_models/snake.xml:4) read by rllab's MujocoEnv, giving
+    the same 0.05 s control interval as timestep 0.001 x 50."""
 
     XML = "snake.xml"
-    FRAME_SKIP = 4
+    FRAME_SKIP = 50
     FWD_IDX = 7
 
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-2):
