@@ -89,12 +89,62 @@ class MujocoHostEnv(HostEnv):
         # COM observations are current (rllab called model.forward() too).
         mujoco.mj_forward(self.model, self.data)
 
+    # -- COM-observation -> simulator-state reconstruction ----------------
+    # The reference seeds rollouts from an OBSERVATION: its swimmer rebuilds
+    # qpos/qvel from the COM obs analytically (get_original_representation,
+    # envs/com_swimmer_env.py:16-32) inside reset(init_state), with the
+    # round-trip invariant asserted at model_based_rl.py:474-475.  Here the
+    # reconstruction is general and exact for every COM env: set the obs's
+    # qpos/qvel tails, zero the root dofs, measure the resulting subtree
+    # COM (offset) and COM velocity, and solve the roots — root slide /
+    # free-joint translation contributes to the COM with coefficient
+    # exactly 1 along its world axis, so one linear correction suffices.
+    # Subclasses declare the obs layout via the class attrs below
+    # (COM_AXES None = env has no COM obs; reset(init_state) stays raw).
+    COM_AXES: tuple = None   # COM axes at the head of the obs
+    VEL_AXES: tuple = None   # COM-velocity axes in the obs
+    ROOT_POS_IDX: tuple = () # qpos indices solved from the COM entries
+    ROOT_VEL_IDX: tuple = () # qvel indices solved from the COM-vel entries
+    POS_TAIL: int = 2        # obs carries qpos[POS_TAIL:]
+    VEL_TAIL: int = 2        # obs carries qvel[VEL_TAIL:]
+
+    def reset_from_obs(self, obs: np.ndarray) -> np.ndarray:
+        obs = np.asarray(obs, np.float64)
+        m, d = self.model, self.data
+        ca, va = list(self.COM_AXES), list(self.VEL_AXES)
+        pos_tail = m.nq - self.POS_TAIL
+        qpos_tail = obs[len(ca):len(ca) + pos_tail]
+        comvel_obs = obs[len(ca) + pos_tail:len(ca) + pos_tail + len(va)]
+        qvel_tail = obs[len(ca) + pos_tail + len(va):]
+        assert qvel_tail.shape[0] == m.nv - self.VEL_TAIL, \
+            f"obs dim mismatch for {type(self).__name__}"
+        mujoco.mj_resetData(m, d)
+        d.qpos[:] = self.init_qpos
+        d.qpos[self.POS_TAIL:] = qpos_tail
+        for i in self.ROOT_POS_IDX:
+            d.qpos[i] = 0.0
+        d.qvel[:] = 0.0
+        d.qvel[self.VEL_TAIL:] = qvel_tail
+        mujoco.mj_forward(m, d)
+        com0 = self.body_com()
+        for j, i in enumerate(self.ROOT_POS_IDX):
+            d.qpos[i] = obs[j] - com0[ca[j]]
+        mujoco.mj_forward(m, d)
+        comvel0 = self.body_comvel()
+        for j, i in enumerate(self.ROOT_VEL_IDX):
+            d.qvel[i] = comvel_obs[j] - comvel0[va[j]]
+        mujoco.mj_forward(m, d)
+        return self.get_current_obs()
+
     # -- HostEnv API -------------------------------------------------------
 
     def get_current_obs(self) -> np.ndarray:
         raise NotImplementedError
 
     def reset(self, init_state: Optional[np.ndarray] = None) -> np.ndarray:
+        if init_state is not None and self.COM_AXES is not None:
+            # reference contract: init_state is an OBSERVATION
+            return self.reset_from_obs(init_state)
         mujoco.mj_resetData(self.model, self.data)
         if init_state is None:
             self.data.qpos[:] = self.init_qpos + \

@@ -24,6 +24,10 @@ class SwimmerEnv(MujocoHostEnv):
 
     XML = "swimmer.xml"
     FRAME_SKIP = 4
+    COM_AXES = (0, 1)
+    VEL_AXES = (0, 1)
+    ROOT_POS_IDX = (0, 1)
+    ROOT_VEL_IDX = (0, 1)
 
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-2):
         self.ctrl_cost_coeff = ctrl_cost_coeff
@@ -72,6 +76,10 @@ class SnakeEnv(MujocoHostEnv):
     XML = "snake.xml"
     FRAME_SKIP = 50
     FWD_IDX = 7
+    COM_AXES = (0, 1)
+    VEL_AXES = (0, 1)
+    ROOT_POS_IDX = (0, 1)
+    ROOT_VEL_IDX = (0, 1)
 
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-2):
         self.ctrl_cost_coeff = ctrl_cost_coeff
@@ -111,6 +119,10 @@ class HalfCheetahEnv(MujocoHostEnv):
 
     XML = "half_cheetah.xml"
     FRAME_SKIP = 5
+    COM_AXES = (0, 2)
+    VEL_AXES = (0, 2)
+    ROOT_POS_IDX = (0, 1)
+    ROOT_VEL_IDX = (0, 1)
 
     def __init__(self, seed: int = 0):
         self.ctrl_cost_coeff = 1e-1
@@ -152,6 +164,12 @@ class HopperEnv(MujocoHostEnv):
 
     XML = "hopper.xml"
     FRAME_SKIP = 5
+    # obs carries only COM z (rootx is unobserved -> reconstructed at 0,
+    # dynamics are x-translation invariant) but BOTH comvel x and z
+    COM_AXES = (2,)
+    VEL_AXES = (0, 2)
+    ROOT_POS_IDX = (1,)
+    ROOT_VEL_IDX = (0, 1)
 
     def __init__(self, seed: int = 0, alive_coeff: float = 1.0,
                  ctrl_cost_coeff: float = 0.01):
@@ -209,6 +227,12 @@ class AntEnv(MujocoHostEnv):
 
     XML = "ant.xml"
     FRAME_SKIP = 5
+    COM_AXES = (0, 1, 2)
+    VEL_AXES = (0, 1, 2)
+    ROOT_POS_IDX = (0, 1, 2)
+    ROOT_VEL_IDX = (0, 1, 2)
+    POS_TAIL = 3
+    VEL_TAIL = 3
 
     def __init__(self, seed: int = 0):
         super().__init__(seed)

@@ -44,7 +44,7 @@ class Trainer:
 
     def __init__(self, cfg: ExperimentConfig, env: HostEnv, env_factory,
                  snapshot_dir: Optional[str] = None, seed: Optional[int] = None,
-                 mesh=None):
+                 mesh=None, resume: bool = False):
         self.cfg = cfg
         self.env = env
         seed = cfg.seed if seed is None else seed
@@ -65,7 +65,8 @@ class Trainer:
             os.makedirs(self.log_dir, exist_ok=True)
         self.logger = get_logger("metrpo", snapshot_dir)
         self.tabular = TabularLogger(
-            os.path.join(snapshot_dir, "progress.csv") if snapshot_dir else None)
+            os.path.join(snapshot_dir, "progress.csv") if snapshot_dir else None,
+            resume=resume)
         # TF_SUMMARY-gated summary writers (model_based_rl.py:21, :339-340)
         if cfg.tf_summary:
             from metrpo_tpu.utils.summaries import make_writers

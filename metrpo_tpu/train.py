@@ -45,7 +45,8 @@ def train(cfg: ExperimentConfig,
 
     env = get_env(cfg.env, seed=cfg.seed)
     env_factory = lambda: get_env(cfg.env, seed=cfg.seed)
-    trainer = Trainer(cfg, env, env_factory, snapshot_dir=snapshot_dir)
+    trainer = Trainer(cfg, env, env_factory, snapshot_dir=snapshot_dir,
+                      resume=resume)
 
     if resume:
         ckpt = latest_checkpoint(trainer.log_dir, "policy-and-models")

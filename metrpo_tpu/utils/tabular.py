@@ -22,24 +22,31 @@ class TabularLogger:
     so late-appearing metrics don't crash the run.
     """
 
-    def __init__(self, path: Optional[str] = None):
+    def __init__(self, path: Optional[str] = None, resume: bool = False):
         self.path = path
         self._current: dict[str, Any] = {}
         self._rows: list[dict[str, Any]] = []
         self._header: list[str] = []
-        # Resume continuity: if progress.csv already exists (a `-resume`d
-        # run), preload its rows so the file keeps its history instead of
-        # being truncated on the first header-growing dump (round-3 ant
-        # resume lost its round-2 rows from the live file this way —
-        # recoverable from git, but the file should be the full curve).
+        # Resume continuity: on a `-resume`d run preload the existing rows
+        # so the file keeps its history instead of being truncated on the
+        # first header-growing dump (round-3 ant resume lost its round-2
+        # rows from the live file this way).  A FRESH run that reuses a
+        # snapshot_dir must NOT inherit the stale history (Itr numbering
+        # would restart mid-file) — rotate the old file aside instead.
         if path is not None and os.path.isfile(path):
-            try:
-                with open(path, newline="") as f:
-                    r = csv.DictReader(f)
-                    self._header = list(r.fieldnames or [])
-                    self._rows = [dict(row) for row in r]
-            except Exception:
-                self._header, self._rows = [], []
+            if resume:
+                try:
+                    with open(path, newline="") as f:
+                        r = csv.DictReader(f)
+                        self._header = list(r.fieldnames or [])
+                        self._rows = [dict(row) for row in r]
+                except Exception:
+                    self._header, self._rows = [], []
+            else:
+                n = 1
+                while os.path.exists(f"{path}.old{n}"):
+                    n += 1
+                os.replace(path, f"{path}.old{n}")
 
     def record(self, key: str, value: Any):
         if hasattr(value, "item") and getattr(value, "ndim", 1) == 0:

@@ -29,6 +29,9 @@ _ap = argparse.ArgumentParser()
 _ap.add_argument("--platform", default="cpu",
                  help="'cpu' (default, safe) or 'default' for the real "
                       "accelerator backend")
+_ap.add_argument("--probe4", action="store_true",
+                 help="probe the 4-device point: sweep particles/device and "
+                      "the data-vs-ensemble mesh split (VERDICT r3 weak #5)")
 _ARGS = _ap.parse_args()
 
 import jax
@@ -49,13 +52,14 @@ class _CheetahCostEnv:
 
 def run_at(n_devices: int, per_dev_particles: int = 64, T: int = 25,
            dyn_hidden=(256, 256), iters_per_chunk: int = 2,
-           reps: int = 3):
+           reps: int = 3, n_ens: int = None):
     import __graft_entry__ as g
     from metrpo_tpu.config import PolicyOptParams, TrpoParams
     from metrpo_tpu.parallel.mesh import make_mesh, shard_tree_ensemble
     from metrpo_tpu.policy_opt import PolicyOptimizer
 
-    n_ens = 2 if n_devices % 2 == 0 else 1
+    if n_ens is None:
+        n_ens = 2 if n_devices % 2 == 0 else 1
     n_models = max(2 * n_ens, 2)
     devices = jax.devices()[:n_devices]
     mesh = make_mesh(n_devices // n_ens, n_ens, devices=devices)
@@ -96,12 +100,34 @@ def run_at(n_devices: int, per_dev_particles: int = 64, T: int = 25,
         dt = (time.perf_counter() - t0) / reps
     steps = B * T * iters_per_chunk
     return {"devices": n_devices, "mesh": dict(mesh.shape),
-            "particles": B, "steps_per_s": steps / dt,
+            "particles": B, "per_dev_particles": per_dev_particles,
+            "steps_per_s": steps / dt,
             "steps_per_s_per_device": steps / dt / n_devices,
             "chunk_s": dt}
 
 
+def probe4():
+    """The r2/r3 4-device point sat at ~71% weak-scaling efficiency with an
+    untested attribution (virtual-device bandwidth sharing on a 2-core
+    host).  Measure it: per-device particle counts x mesh splits, each
+    normalized against the matching 1-device config."""
+    out = []
+    for per_dev in (64, 256):
+        base = run_at(1, per_dev_particles=per_dev)
+        base["weak_scaling_efficiency"] = 1.0
+        out.append(base)
+        for n_ens in (1, 2, 4):
+            r = run_at(4, per_dev_particles=per_dev, n_ens=n_ens)
+            r["weak_scaling_efficiency"] = (
+                r["steps_per_s_per_device"] / base["steps_per_s_per_device"])
+            out.append(r)
+    print(json.dumps(out, indent=2, default=float))
+
+
 def main():
+    if _ARGS.probe4:
+        probe4()
+        return
     n_avail = len(jax.devices())
     sizes = [n for n in (1, 2, 4, 8, 16) if n <= n_avail]
     results = [run_at(n) for n in sizes]

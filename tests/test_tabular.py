@@ -31,7 +31,7 @@ def test_tabular_resume_appends_preserving_history(tmp_path):
     t.record("a", 1)
     t.dump()
     del t
-    t2 = TabularLogger(path)   # resume
+    t2 = TabularLogger(path, resume=True)
     t2.record("a", 2)
     t2.dump()                  # same header -> append
     t2.record("a", 3)
@@ -97,3 +97,21 @@ def test_collect_auto_reset_respawns_slots():
         assert 1 <= len(a) <= 10
         if len(a) < 10:  # early end must be a genuine env done
             assert env.is_done_np(o[-2][None], o[-1][None])[0]
+
+
+def test_tabular_fresh_run_rotates_stale_csv(tmp_path):
+    """A NON-resume logger on a dir with an existing progress.csv must not
+    append after the stale run's history (ADVICE r3): the old file is
+    rotated aside and the new run starts a clean CSV."""
+    path = str(tmp_path / "progress.csv")
+    t = TabularLogger(path)
+    t.record("Itr", 0)
+    t.dump()
+    del t
+    t2 = TabularLogger(path)  # fresh run reusing the dir
+    t2.record("Itr", 0)
+    t2.dump()
+    rows = list(csv.DictReader(open(path)))
+    assert len(rows) == 1
+    old = list(csv.DictReader(open(path + ".old1")))
+    assert len(old) == 1
