@@ -164,7 +164,22 @@ class Trainer:
         path = pop.validation_init_path
         if path and os.path.isfile(path):
             with open(path, "rb") as f:
-                obs_inits, reset_inits = pickle.load(f)
+                loaded = pickle.load(f)
+            if isinstance(loaded, tuple) and len(loaded) == 2:
+                obs_inits, reset_inits = loaded
+            else:
+                # reference vip format: a bare list/array of OBSERVATIONS
+                # (model_based_rl.py:446-449); rebuild the raw reset states
+                # through the COM-obs reconstruction (reset_from_obs) and
+                # check the reference's round-trip invariant (:474-475)
+                obs_inits = np.asarray(loaded)
+                reset_inits = []
+                for obs in obs_inits:
+                    rebuilt = self.env.reset(init_state=obs)
+                    assert np.allclose(rebuilt, obs, atol=1e-6), \
+                        "validation init obs does not round-trip through reset"
+                    reset_inits.append(self.env.get_reset_state())
+                reset_inits = np.asarray(reset_inits)
             self.logger.info("Loaded policy validation inits from %s", path)
             return np.asarray(obs_inits), np.asarray(reset_inits)
         obs_inits, reset_inits = self._make_validation_inits(pop.batch_size)

@@ -75,3 +75,35 @@ def test_hopper_unobserved_rootx_is_zeroed():
     assert abs(env.data.qpos[0]) < 1e-12
     np.testing.assert_allclose(env.get_current_obs(), target,
                                rtol=1e-9, atol=1e-9)
+
+
+def test_reference_format_validation_init_pickle(tmp_path):
+    """The reference's validation_init_path pickle is a bare array of
+    OBSERVATIONS (model_based_rl.py:446-449).  The Trainer loader accepts
+    that format, reconstructs raw reset states via reset_from_obs, and
+    enforces the reference's round-trip invariant (:474-475)."""
+    import logging
+    import pickle
+    import types
+
+    from metrpo_tpu.orchestrator import Trainer
+
+    env = SwimmerEnv(seed=0)
+    rng = np.random.default_rng(0)
+    obs_list = []
+    for _ in range(3):
+        env.reset()
+        for _ in range(4):
+            env.step(rng.uniform(-1, 1, 2))
+        obs_list.append(env.get_current_obs())
+    vip = str(tmp_path / "vip.pkl")
+    with open(vip, "wb") as f:
+        pickle.dump(np.asarray(obs_list), f)  # reference format: obs only
+
+    shim = types.SimpleNamespace(env=env, logger=logging.getLogger("t"))
+    pop = types.SimpleNamespace(validation_init_path=vip, batch_size=3)
+    obs_inits, reset_inits = Trainer._load_or_make_validation_inits(shim, pop)
+    assert obs_inits.shape == (3, 10)
+    assert reset_inits.shape == (3, 10)  # nq + nv
+    for o, r in zip(obs_inits, reset_inits):
+        np.testing.assert_allclose(env.reset_to(r), o, atol=1e-8)
