@@ -32,7 +32,7 @@ def run(algo: str, seed: int, sweeps: int) -> float:
 
     cfg = load_config(
         "params/params-point2D.json",
-        overrides={"algo": algo, "seed": seed, "sweep_iters": sweeps,
+        overrides={"algo": algo, "sweep_iters": sweeps,
                    "dynamics_opt_params": {"max_passes": 200},
                    "policy_opt_params": {"max_iters": 150}})
     np.random.seed(seed)
