@@ -241,6 +241,12 @@ class ExperimentConfig:
     # TF_SUMMARY gate (reference model_based_rl.py:21): when on, weight/
     # gradient/loss-distribution summaries stream to tf_logs/{train,val}.
     tf_summary: bool = False
+    # Model-error diagnostics cadence: every N sweeps run the k-step
+    # open-loop error suite + horizon-end error distributions
+    # (evaluate.py), dropping state_diff_<sweep>.csv + histograms under
+    # <snapshot_dir>/model_diag/. 0 = off. The reference keeps these
+    # importable in the loop but commented out (model_based_rl.py:622-635).
+    model_diag_every: int = 0
     policy: PolicyModelParams = field(default_factory=PolicyModelParams)
     dynamics_model: DynamicsModelParams = field(default_factory=DynamicsModelParams)
     dynamics_opt_params: DynamicsOptParams = field(default_factory=DynamicsOptParams)
@@ -410,6 +416,7 @@ def config_from_dict(raw: dict) -> ExperimentConfig:
         sweep_iters=raw.get("sweep_iters", 100),
         seed=raw.get("seed", 0),
         tf_summary=bool(raw.get("tf_summary", False)),
+        model_diag_every=int(raw.get("model_diag_every", 0) or 0),
         policy=pol,
         dynamics_model=dyn,
         dynamics_opt_params=dop,

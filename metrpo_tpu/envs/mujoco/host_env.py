@@ -116,8 +116,14 @@ class MujocoHostEnv(HostEnv):
         qpos_tail = obs[len(ca):len(ca) + pos_tail]
         comvel_obs = obs[len(ca) + pos_tail:len(ca) + pos_tail + len(va)]
         qvel_tail = obs[len(ca) + pos_tail + len(va):]
-        assert qvel_tail.shape[0] == m.nv - self.VEL_TAIL, \
-            f"obs dim mismatch for {type(self).__name__}"
+        if qvel_tail.shape[0] != m.nv - self.VEL_TAIL:
+            # hard error, not an assert: a malformed observation must not
+            # silently produce a corrupted reconstructed state under
+            # python -O (ADVICE r4)
+            raise ValueError(
+                f"obs dim mismatch for {type(self).__name__}: got "
+                f"{obs.shape[0]}-dim obs leaving a {qvel_tail.shape[0]}-dim "
+                f"qvel tail, expected {m.nv - self.VEL_TAIL}")
         mujoco.mj_resetData(m, d)
         d.qpos[:] = self.init_qpos
         d.qpos[self.POS_TAIL:] = qpos_tail
@@ -142,6 +148,13 @@ class MujocoHostEnv(HostEnv):
         raise NotImplementedError
 
     def reset(self, init_state: Optional[np.ndarray] = None) -> np.ndarray:
+        """Reset; ``init_state`` follows the reference contract: it is an
+        OBSERVATION for COM envs (rebuilt via ``reset_from_obs``;
+        env_helpers.py obs seeding) and a raw ``concat[qpos, qvel]`` state
+        otherwise. Callers holding a raw state for a COM env must use
+        ``reset_to()`` — for SwimmerEnv both are 10-dim, so a raw state
+        passed here would be reinterpreted as an observation (ADVICE r4).
+        """
         if init_state is not None and self.COM_AXES is not None:
             # reference contract: init_state is an OBSERVATION
             return self.reset_from_obs(init_state)

@@ -86,7 +86,8 @@ def train_model_free(env: HostEnv, env_factory, policy_cfg,
                      seed: int = 0,
                      snapshot_dir: Optional[str] = None,
                      logger=None,
-                     progress_callback=None) -> tuple[dict, list]:
+                     progress_callback=None,
+                     resume: bool = False) -> tuple[dict, list]:
     """Model-free TRPO/VPG on the real env. Returns (params, return_curve).
 
     ``progress_callback(itr, mean_return)`` is invoked after every
@@ -109,8 +110,11 @@ def train_model_free(env: HostEnv, env_factory, policy_cfg,
     else:
         raise ValueError(algo)
 
+    # resume=True preloads an existing progress.csv so a continued
+    # baseline appends one continuous CSV instead of rotating it aside
+    # (ADVICE r4 — mirrors train.py's Trainer resume plumbing)
     tab = TabularLogger(None if snapshot_dir is None else
-                        f"{snapshot_dir}/progress.csv")
+                        f"{snapshot_dir}/progress.csv", resume=resume)
     curve = []
     mean_fn = make_mean_fn(policy)
     for itr in range(n_itr):

@@ -165,7 +165,14 @@ class Trainer:
         if path and os.path.isfile(path):
             with open(path, "rb") as f:
                 loaded = pickle.load(f)
-            if isinstance(loaded, tuple) and len(loaded) == 2:
+            # repo pickle format: (obs_inits, reset_inits), both 2-D with
+            # matching leading dim. Shape-validated (ADVICE r4) so a
+            # reference-style pickle that happens to be a 2-tuple of raw
+            # observation vectors is not silently misparsed.
+            if (isinstance(loaded, tuple) and len(loaded) == 2
+                    and np.asarray(loaded[0]).ndim == 2
+                    and np.asarray(loaded[1]).ndim == 2
+                    and len(np.asarray(loaded[0])) == len(np.asarray(loaded[1]))):
                 obs_inits, reset_inits = loaded
             else:
                 # reference vip format: a bare list/array of OBSERVATIONS
@@ -173,11 +180,24 @@ class Trainer:
                 # through the COM-obs reconstruction (reset_from_obs) and
                 # check the reference's round-trip invariant (:474-475)
                 obs_inits = np.asarray(loaded)
+                if getattr(self.env, "COM_AXES", None) is None:
+                    raise ValueError(
+                        f"validation_init_path {path!r} holds bare "
+                        f"observations, but {type(self.env).__name__} has "
+                        "no COM-observation reconstruction (COM_AXES is "
+                        "None) — save the repo (obs_inits, reset_inits) "
+                        "tuple format instead")
                 reset_inits = []
                 for obs in obs_inits:
                     rebuilt = self.env.reset(init_state=obs)
-                    assert np.allclose(rebuilt, obs, atol=1e-6), \
-                        "validation init obs does not round-trip through reset"
+                    # reference round-trip invariant
+                    # (model_based_rl.py:474-475); a hard error, not a
+                    # stripped-under--O assert (ADVICE r4)
+                    if not np.allclose(rebuilt, obs, atol=1e-6):
+                        raise ValueError(
+                            "validation init obs does not round-trip "
+                            "through reset (max err "
+                            f"{np.abs(rebuilt - obs).max():.3e})")
                     reset_inits.append(self.env.get_reset_state())
                 reset_inits = np.asarray(reset_inits)
             self.logger.info("Loaded policy validation inits from %s", path)
@@ -319,6 +339,50 @@ class Trainer:
                 self.summary_train.tree(f"{scope}/weights",
                                         self.ens_params[scope], count)
         self.tabular.record("model_opt_time", timer.lap())
+
+        # --- optional model-error diagnostics (VERDICT r4 next #7) ---
+        # The reference keeps these importable in its loop but commented
+        # out (model_based_rl.py:622-635, env_helpers.py:96-269); here
+        # they run every cfg.model_diag_every sweeps against the freshly
+        # fit ensemble, writing state_diff_<sweep>.csv + error-histogram
+        # PNGs under <snapshot_dir>/model_diag/.
+        if cfg.model_diag_every and count % cfg.model_diag_every == 0:
+            if self.oracle_pool is None:
+                self.logger.warning(
+                    "model_diag_every is set but the on-device env runtime "
+                    "has no host pool; skipping model diagnostics")
+            else:
+                from metrpo_tpu.evaluate import (evaluate_model_predictions,
+                                                 get_error_distribution)
+                diag_dir = (os.path.join(self.snapshot_dir, "model_diag")
+                            if self.snapshot_dir else None)
+                member0 = jax.tree_util.tree_map(
+                    lambda l: l[0], self.ens_params[self.scopes[0]])
+                t_diag = time.time()
+                try:
+                    errs = evaluate_model_predictions(
+                        self.env, self.oracle_pool, self.policy,
+                        self.ensemble, self.policy_params, member0,
+                        self.input_stats, self.diff_stats,
+                        self.policy_validation_reset_init[:100],
+                        cfg.rollout_params.max_timestep,
+                        log_dir=diag_dir, count=count)
+                    get_error_distribution(
+                        self.env, self.policy, self.ensemble,
+                        self.policy_params, member0, self.input_stats,
+                        self.diff_stats,
+                        horizon=cfg.rollout_params.max_timestep,
+                        sample_size=20, log_dir=diag_dir, count=count,
+                        logger=self.logger, is_plot=True)
+                    self.logger.info(
+                        "model diagnostics (sweep %d, %.1fs): 1-step L1 "
+                        "%.4f, %d-step L1 %.4f", count,
+                        time.time() - t_diag, errs["l1_sum"][0],
+                        errs["timesteps"][len(errs["l1_sum"]) - 1],
+                        errs["l1_sum"][-1])
+                except Exception as e:  # diagnostics never kill a run
+                    self.logger.warning("model diagnostics failed: %s", e)
+            timer.lap()  # keep diagnostics out of policy_opt_time
 
         # --- optimize policy ---
         old_flat = np.asarray(tree_flatten_vector(self.policy_params))
