@@ -32,6 +32,10 @@ class SimpleHumanoidEnv(MujocoHostEnv):
     def __init__(self, seed: int = 0, ctrl_cost_coeff: float = 1e-3,
                  alive_bonus: float = 0.2):
         self.ctrl_cost_coeff = ctrl_cost_coeff
+        # DEAD parameter, kept only for reference signature parity: the
+        # reference's head-height cost never reads its alive_bonus either
+        # (rllab simple_humanoid ctor arg, unused by the ME-TRPO shaped
+        # cost) — not live config here.
         self.alive_bonus = alive_bonus
         super().__init__(seed)
         self._head_id = mujoco.mj_name2id(

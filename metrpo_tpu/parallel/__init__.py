@@ -1,3 +1,2 @@
 from metrpo_tpu.parallel.mesh import (DATA_AXIS, ENSEMBLE_AXIS, make_mesh,
                                       replicate_tree, shard_tree_ensemble)
-from metrpo_tpu.parallel.training import make_multichip_train_step

@@ -54,7 +54,7 @@ def test_multichip_step_matches_single_device():
     sys.path.insert(0, "/root/repo")
     import __graft_entry__ as g
     from metrpo_tpu.config import PolicyOptParams, TrpoParams
-    from metrpo_tpu.parallel.training import make_multichip_train_step
+    from tests.multichip_step import make_multichip_train_step
 
     policy, ensemble, pp, ep, in_stats, diff_stats = g._build(
         n_models=4, dyn_hidden=(32,), pol_hidden=(8,))
