@@ -17,7 +17,7 @@
 # If the ref itself is gone (fresh clone), leave whatever is on disk —
 # -resume then degrades gracefully to the older tracked ckpt.
 set -u
-cd /root/repo
+cd "${CKPT_REF_REPO:-/root/repo}"   # overridable for tests
 op="${1:?store|restore}"; d="${2:?run dir}"
 name=$(basename "$d"); f="$d/resume-light.ckpt"; side="$d/resume-light.sha256"
 case "$op" in
