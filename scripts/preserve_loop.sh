@@ -31,6 +31,12 @@ while true; do
         [ -f "$d/progress.csv" ] || continue
         if [ $((tick % CKPT_EVERY)) -eq 0 ]; then
             nice -n 19 python scripts/preserve_run.py "$d" >/dev/null 2>&1
+            # Mid-stage resumability at zero main-history cost: park the
+            # refreshed ckpt on the replace-in-place ref too.  Round 5's
+            # machine reset lost ant sweeps 76-133 of state because the
+            # on-disk refresh was never committed anywhere (the ref was
+            # only stored at stage end, which the reset preempted).
+            bash scripts/ckpt_ref.sh store "$d" >/dev/null 2>&1
         fi
         for f in progress.csv params.json info.log; do
             [ -f "$d/$f" ] && PATHS+=("$d/$f")
