@@ -100,14 +100,13 @@ def _read_returns(progress_csv):
             [-float(r["real_current_validation_cost"]) for r in rows])
 
 
-def plot_swimmer_seeds(out_png):
+def plot_seed_band(runs, title, out_png):
     """Seed-variance figure: per-seed curves + the min-max band
-    (BASELINE 'within seed variance' comparator)."""
-    runs = [(s, os.path.join(REPO, f"runs/swimmer_s{s}/progress.csv"))
-            for s in (0, 1, 2)]
+    (BASELINE 'within seed variance' comparator).  ``runs`` is a list of
+    (seed, progress_csv) pairs."""
     series = [(s, *_read_returns(p)) for s, p in runs if os.path.isfile(p)]
     if len(series) < 2:
-        print("skip swimmer seeds (need >=2 runs)")
+        print("skip seed band (need >=2 runs):", out_png)
         return
     fig, ax = plt.subplots(figsize=(6.4, 3.6), dpi=150)
     fig.patch.set_facecolor(SURFACE)
@@ -127,8 +126,7 @@ def plot_swimmer_seeds(out_png):
                     fontsize=9, color=INK)
     ax.set_xlabel("sweep (3000 real transitions each)", color=INK, fontsize=10)
     ax.set_ylabel("real validation return", color=INK, fontsize=10)
-    ax.set_title("swimmer (T=200), reference hyperparameters, 3 seeds",
-                 color=INK, fontsize=11, loc="left")
+    ax.set_title(title, color=INK, fontsize=11, loc="left")
     leg = ax.legend(frameon=False, fontsize=9, loc="lower right")
     for t in leg.get_texts():
         t.set_color(INK)
@@ -200,7 +198,21 @@ def main():
         os.path.join(REPO, "runs/humanoid_r3/progress.csv"),
         os.path.join(REPO, "results_humanoid_r3.png"),
         "humanoid smoke (reduced policy-opt scale)")
-    plot_swimmer_seeds(os.path.join(REPO, "results_swimmer_seeds_r3.png"))
+    plot_seed_band(
+        [(s, os.path.join(REPO, f"runs/swimmer_s{s}/progress.csv"))
+         for s in (0, 1, 2)],
+        "swimmer (T=200), reference hyperparameters, 3 seeds",
+        os.path.join(REPO, "results_swimmer_seeds_r3.png"))
+    plot_seed_band(
+        [(0, os.path.join(REPO, "runs/snake_r4/progress.csv")),
+         (1, os.path.join(REPO, "runs/snake_s1/progress.csv"))],
+        "snake (reference physics), reference hyperparameters, 2 seeds",
+        os.path.join(REPO, "results_snake_seeds_r5.png"))
+    plot_seed_band(
+        [(0, os.path.join(REPO, "runs/hopper_r3/progress.csv")),
+         (1, os.path.join(REPO, "runs/hopper_s1/progress.csv"))],
+        "hopper (shaped alive cost), reference hyperparameters, 2 seeds",
+        os.path.join(REPO, "results_hopper_seeds_r5.png"))
     plot_sample_efficiency(os.path.join(REPO, "results_sample_efficiency.png"))
     plot_sample_efficiency_swimmer(
         os.path.join(REPO, "results_sample_efficiency_swimmer.png"))
